@@ -1,0 +1,149 @@
+"""Packed binary-code arrays and bit manipulation.
+
+A binary code of B bits is stored as ``uint32[B//32]`` words, word ``w``
+holding bytes ``4w..4w+3`` of the on-disk code in little-endian order. This
+makes word ``t`` of a 128-bit code exactly the reference's substring value
+``binaryToInt(code + t*4, 4)`` (``Pilaf/image_tools.h:12-18``: little-endian
+byte composition), so bucket indices here match the C++ index bit-for-bit.
+
+All functions are jit-safe and shape-polymorphic over leading batch dims.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# --------------------------------------------------------------------------
+# Packing / unpacking (host-side helpers use numpy; device fns use jnp)
+# --------------------------------------------------------------------------
+
+def pack_bytes(raw: np.ndarray) -> np.ndarray:
+    """Pack ``uint8[N, nbytes]`` code bytes into ``uint32[N, nbytes//4]``.
+
+    Byte ``4w+j`` becomes bits ``8j..8j+7`` of word ``w`` (little-endian,
+    matching ``binaryToInt``'s composition order).
+    """
+    raw = np.asarray(raw, dtype=np.uint8)
+    if raw.ndim == 1:
+        raw = raw[None]
+    n, nbytes = raw.shape
+    if nbytes % 4:
+        raise ValueError(f"code byte length {nbytes} not a multiple of 4")
+    return raw.reshape(n, nbytes // 4, 4).astype(np.uint32) @ np.array(
+        [1, 1 << 8, 1 << 16, 1 << 24], dtype=np.uint32)
+
+
+def unpack_to_bytes(words: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`pack_bytes`: ``uint32[N, W]`` → ``uint8[N, 4W]``."""
+    words = np.asarray(words, dtype=np.uint32)
+    shifts = np.array([0, 8, 16, 24], dtype=np.uint32)
+    b = (words[..., None] >> shifts) & np.uint32(0xFF)
+    return b.reshape(*words.shape[:-1], words.shape[-1] * 4).astype(np.uint8)
+
+
+def random_codes(seed: int, n: int, bits: int = 128) -> np.ndarray:
+    """Uniform random packed codes ``uint32[n, bits//32]`` (host-side)."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 1 << 32, size=(n, bits // 32), dtype=np.uint32)
+
+
+def clustered_codes(seed: int, n: int, bits: int = 128,
+                    n_clusters: int = 64, flip_p: float = 0.05) -> np.ndarray:
+    """Codes clustered around random centers — a more realistic (LSH-like)
+    distribution than uniform for recall/latency testing."""
+    rng = np.random.default_rng(seed)
+    nbytes = bits // 8
+    centers = rng.integers(0, 256, size=(n_clusters, nbytes), dtype=np.uint8)
+    assign = rng.integers(0, n_clusters, size=n)
+    noise_bits = rng.random((n, bits)) < flip_p
+    noise = np.packbits(noise_bits, axis=1, bitorder="little")
+    return pack_bytes(centers[assign] ^ noise)
+
+
+# --------------------------------------------------------------------------
+# Substring extraction (the hash-table bucket index)
+# --------------------------------------------------------------------------
+
+def substring(codes: jax.Array, table_id: int, s_bits: int) -> jax.Array:
+    """Extract substring ``table_id`` (width ``s_bits``) from packed codes.
+
+    Reference semantics: ``binaryToInt(code + table_id*substr_len, substr_len)``
+    (``src/build_hash_tables.cc:45``, ``src/search_worker.cc:101``): take
+    ``s_bits//8`` consecutive bytes starting at byte ``table_id*s_bits//8``,
+    compose little-endian. ``s_bits`` must be a multiple of 8 and ≤ 32.
+
+    Works on any ``uint32[..., W]`` array; returns ``uint32[...]``.
+    """
+    if s_bits % 8 or s_bits > 32:
+        raise ValueError(f"s_bits must be a multiple of 8 and <= 32: {s_bits}")
+    if s_bits == 32:
+        return codes[..., table_id]
+    s_bytes = s_bits // 8
+    start = table_id * s_bytes
+    val = jnp.zeros(codes.shape[:-1], jnp.uint32)
+    for j in range(s_bytes):
+        byte_idx = start + j
+        word = codes[..., byte_idx // 4]
+        byte = (word >> jnp.uint32((byte_idx % 4) * 8)) & jnp.uint32(0xFF)
+        val = val | (byte << jnp.uint32(8 * j))
+    return val
+
+
+def all_substrings(codes: jax.Array, n_tables: int) -> jax.Array:
+    """``uint32[..., W] -> uint32[..., n_tables]``: every table's substring."""
+    s_bits = codes.shape[-1] * 32 // n_tables
+    return jnp.stack(
+        [substring(codes, t, s_bits) for t in range(n_tables)], axis=-1)
+
+
+# --------------------------------------------------------------------------
+# Hamming distance (XOR + popcount; Pilaf/image_tools.h:21-33)
+# --------------------------------------------------------------------------
+
+def hamming_distance(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Elementwise Hamming distance between packed codes.
+
+    Broadcasts over leading dims; reduces the trailing word dim.
+    ``uint32[..., W] x uint32[..., W] -> int32[...]``.
+    """
+    x = jax.lax.population_count(a ^ b)
+    return jnp.sum(x.astype(jnp.int32), axis=-1)
+
+
+def pairwise_hamming(queries: jax.Array, db: jax.Array) -> jax.Array:
+    """All-pairs Hamming distance: ``[Q, W] x [N, W] -> int32[Q, N]``.
+
+    Materializes ``[Q, N, W]``; callers chunk N (see search/linear.py).
+    """
+    return hamming_distance(queries[:, None, :], db[None, :, :])
+
+
+# --------------------------------------------------------------------------
+# MXU formulation: dist = (B - <±1 bits, ±1 bits>) / 2
+# --------------------------------------------------------------------------
+
+def unpack_bits_pm1(codes: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """Unpack ``uint32[..., W]`` to ``±1`` vectors ``[..., 32W]``.
+
+    Bit k of word w (LSB-first) lands at position ``32w + k``. Feeding these
+    to a matmul gives ``dot = B - 2*hamming``, turning the linear scan into an
+    MXU-bound GEMM (B=128 matches the 128-wide systolic array exactly).
+    """
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (codes[..., None] >> shifts) & jnp.uint32(1)
+    bits = bits.reshape(*codes.shape[:-1], codes.shape[-1] * 32)
+    return (2 * bits.astype(jnp.int32) - 1).astype(dtype)
+
+
+def hamming_via_matmul(q_pm1: jax.Array, db_pm1: jax.Array) -> jax.Array:
+    """``[Q, B] x [N, B] -> int32[Q, N]`` Hamming distances on the MXU."""
+    bits = q_pm1.shape[-1]
+    dot = jax.lax.dot_general(
+        q_pm1, db_pm1,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return ((bits - dot) * 0.5).astype(jnp.int32)

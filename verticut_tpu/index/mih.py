@@ -1,0 +1,142 @@
+"""The multi-index-hashing index: per-table CSR arrays in HBM.
+
+Replaces the reference's entire storage stack — the Pilaf cuckoo DHT with
+protobuf ``Image_List`` bucket values (``Pilaf/dht.h``, ``src/pilaf_proxy.h``)
+and the read-modify-write streaming build (``src/build_hash_tables.cc:25-73``,
+O(bucket²) bytes per table) — with one sort per table:
+
+    sort (substring, id)  →  entry_ids / entry_codes in bucket order
+                          →  directory maps value → (start, count)
+
+Memory parity with the reference: each table stores ``(id, full_code)`` per
+entry (``src/image_search.proto:20-23`` — ``ID_Code_Pair``), i.e. m× code
+duplication. ``store_codes=False`` gives the compact variant (ids only,
+verify against the caller-held code array).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from verticut_tpu import codes as codes_lib
+from verticut_tpu.config import MIHConfig
+from verticut_tpu.index import directory as dir_lib
+from verticut_tpu.index.bitmap import Bitmap, build_bitmap
+
+
+class MIHTable(NamedTuple):
+    """One substring hash table (the per-MPI-rank table of the reference)."""
+
+    entry_ids: jax.Array              # int32[N] — ids in bucket order
+    entry_codes: Optional[jax.Array]  # uint32[N, W] full codes, or None
+    directory: dir_lib.Directory
+    bitmap: Optional[Bitmap]
+
+    @property
+    def n_entries(self) -> int:
+        return self.entry_ids.shape[0]
+
+
+@dataclasses.dataclass
+class MIHIndex:
+    """m per-substring tables + metadata. A host-side container of device
+    arrays (each field of each table is an independent jax.Array, so tables
+    can be placed on different mesh shards)."""
+
+    cfg: MIHConfig
+    tables: List[MIHTable]
+    n: int                      # number of indexed codes
+    codes: Optional[jax.Array]  # uint32[N, W] original id-ordered codes
+
+    def table_subs(self, queries: jax.Array) -> jax.Array:
+        """Substring values of a query batch for every table: [Q, m]."""
+        return codes_lib.all_substrings(queries, self.cfg.n_tables)
+
+
+def _build_table(codes_arr: jax.Array, table_id: int, cfg: MIHConfig,
+                 dense_threshold: int, store_codes: bool,
+                 with_bitmap: bool) -> MIHTable:
+    n = codes_arr.shape[0]
+    subs = codes_lib.substring(codes_arr, table_id, cfg.s_bits)
+    ids = jnp.arange(n, dtype=jnp.int32)
+    # Stable (substring, id) sort: bucket-internal id order matches the
+    # reference's sequential-append order (build_hash_tables.cc:54-63).
+    sorted_subs, sorted_ids = jax.lax.sort((subs, ids), num_keys=2)
+    entry_codes = codes_arr[sorted_ids] if store_codes else None
+    if cfg.s_bits <= dense_threshold:
+        d = dir_lib.build_dense(sorted_subs, cfg.s_bits)
+    else:
+        d = dir_lib.build_sorted(sorted_subs)
+    bmp = build_bitmap(sorted_subs, cfg.s_bits) if with_bitmap else None
+    return MIHTable(entry_ids=sorted_ids, entry_codes=entry_codes,
+                    directory=d, bitmap=bmp)
+
+
+def build_index(codes_arr, cfg: MIHConfig = MIHConfig(),
+                dense_threshold: int = 24, store_codes: bool = True,
+                with_bitmap: bool = False, keep_codes: bool = True
+                ) -> MIHIndex:
+    """Build the full m-table index on device.
+
+    ``codes_arr``: ``uint32[N, W]`` packed codes, row i = image id i
+    (ids are implicit sequential, as in the reference's streaming build).
+    """
+    codes_arr = jnp.asarray(codes_arr, dtype=jnp.uint32)
+    if codes_arr.shape[-1] != cfg.n_words:
+        raise ValueError(
+            f"codes have {codes_arr.shape[-1]} words, config wants {cfg.n_words}")
+    tables = [
+        _build_table(codes_arr, t, cfg, dense_threshold, store_codes,
+                     with_bitmap)
+        for t in range(cfg.n_tables)
+    ]
+    return MIHIndex(cfg=cfg, tables=tables, n=codes_arr.shape[0],
+                    codes=codes_arr if keep_codes else None)
+
+
+# --------------------------------------------------------------------------
+# Persistence — the checkpoint analog of the Pilaf op log
+# (Pilaf/store-server.cc:58-94); we persist the built artifact instead of a
+# replayable mutation log because the index is build-then-freeze.
+# --------------------------------------------------------------------------
+
+def save_index(path: str, index: MIHIndex) -> None:
+    arrs = {"n": np.asarray(index.n), "bits": np.asarray(index.cfg.bits),
+            "n_tables": np.asarray(index.cfg.n_tables)}
+    if index.codes is not None:
+        arrs["codes"] = np.asarray(index.codes)
+    for t, tab in enumerate(index.tables):
+        arrs[f"t{t}_ids"] = np.asarray(tab.entry_ids)
+        if tab.entry_codes is not None:
+            arrs[f"t{t}_codes"] = np.asarray(tab.entry_codes)
+        if isinstance(tab.directory, dir_lib.DenseDirectory):
+            arrs[f"t{t}_offsets"] = np.asarray(tab.directory.offsets)
+        else:
+            arrs[f"t{t}_keys"] = np.asarray(tab.directory.keys)
+        if tab.bitmap is not None:
+            arrs[f"t{t}_bitmap"] = np.asarray(tab.bitmap.words)
+    np.savez(path, **arrs)
+
+
+def load_index(path: str) -> MIHIndex:
+    z = np.load(path)
+    cfg = MIHConfig(bits=int(z["bits"]), n_tables=int(z["n_tables"]))
+    tables = []
+    for t in range(cfg.n_tables):
+        if f"t{t}_offsets" in z:
+            d = dir_lib.DenseDirectory(offsets=jnp.asarray(z[f"t{t}_offsets"]))
+        else:
+            d = dir_lib.SortedDirectory(keys=jnp.asarray(z[f"t{t}_keys"]))
+        bmp = (Bitmap(words=jnp.asarray(z[f"t{t}_bitmap"]))
+               if f"t{t}_bitmap" in z else None)
+        ec = (jnp.asarray(z[f"t{t}_codes"]) if f"t{t}_codes" in z else None)
+        tables.append(MIHTable(entry_ids=jnp.asarray(z[f"t{t}_ids"]),
+                               entry_codes=ec, directory=d, bitmap=bmp))
+    codes_arr = jnp.asarray(z["codes"]) if "codes" in z else None
+    return MIHIndex(cfg=cfg, tables=tables, n=int(z["n"]), codes=codes_arr)

@@ -1,0 +1,97 @@
+"""Batched bounded top-k with id-dedup — the TPU analog of the reference's
+master-side ``std::map`` dedup + bounded ``std::priority_queue``
+(``src/search_worker.cc:179-198``).
+
+State is a fixed-shape *pool* per query: ``(dist int32[Q, P], id int32[Q, P])``
+kept sorted ascending by ``(dist, id)``; empty slots hold ``id = -1`` and
+``dist = INF``. Merging new candidates is two ``lax.sort`` passes:
+
+1. sort by id → mark adjacent duplicates invalid (a candidate id always
+   carries the same distance — Hamming distance is a pure function of
+   (query, id) — so "first seen wins" in the reference and "any copy wins"
+   here produce identical pools);
+2. sort by (dist, id) → keep the first P.
+
+Both sorts are multi-key ``lax.sort`` calls, batched over Q on the last axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+INF_DIST = jnp.int32(0x7FFFFFFF)
+INVALID_ID = jnp.int32(-1)
+_UMAX = jnp.uint32(0xFFFFFFFF)
+
+
+def empty_pool(n_queries: int, pool_size: int):
+    """Fresh pool: all slots invalid."""
+    return (jnp.full((n_queries, pool_size), INF_DIST, jnp.int32),
+            jnp.full((n_queries, pool_size), INVALID_ID, jnp.int32))
+
+
+def merge_topk_dedup(pool_dist: jax.Array, pool_id: jax.Array,
+                     cand_dist: jax.Array, cand_id: jax.Array):
+    """Merge candidates into the pool, dropping duplicate ids.
+
+    ``pool_*: [Q, P]``, ``cand_*: [Q, C]`` (invalid candidates: id = -1).
+    Returns the new ``(pool_dist, pool_id)``, sorted ascending by (dist, id).
+    """
+    p = pool_dist.shape[-1]
+    idk = jnp.concatenate([pool_id, cand_id], axis=-1).astype(jnp.uint32)
+    d = jnp.concatenate([pool_dist, cand_dist], axis=-1)
+    d = jnp.where(idk == _UMAX, INF_DIST, d)
+
+    # Pass 1: group by id, invalidate all but the first copy.
+    idk, d = jax.lax.sort((idk, d), num_keys=2)
+    dup = jnp.concatenate(
+        [jnp.zeros_like(idk[..., :1], jnp.bool_),
+         (idk[..., 1:] == idk[..., :-1]) & (idk[..., 1:] != _UMAX)], axis=-1)
+    idk = jnp.where(dup, _UMAX, idk)
+    d = jnp.where(dup, INF_DIST, d)
+
+    # Pass 2: order by (dist, id), truncate to pool size.
+    d, idk = jax.lax.sort((d, idk), num_keys=2)
+    d, idk = d[..., :p], idk[..., :p]
+    return d, jnp.where(idk == _UMAX, INVALID_ID, idk.astype(jnp.int32))
+
+
+def merge_topk(pool_dist: jax.Array, pool_id: jax.Array,
+               cand_dist: jax.Array, cand_id: jax.Array):
+    """Merge without dedup (linear-scan path: ids are unique by construction)."""
+    p = pool_dist.shape[-1]
+    idk = jnp.concatenate([pool_id, cand_id], axis=-1).astype(jnp.uint32)
+    d = jnp.concatenate([pool_dist, cand_dist], axis=-1)
+    d = jnp.where(idk == _UMAX, INF_DIST, d)
+    d, idk = jax.lax.sort((d, idk), num_keys=2)
+    d, idk = d[..., :p], idk[..., :p]
+    return d, jnp.where(idk == _UMAX, INVALID_ID, idk.astype(jnp.int32))
+
+
+def chunk_topk(dists: jax.Array, ids: jax.Array, k: int):
+    """Per-chunk bounded top-k via ``lax.top_k`` (cheaper than a full sort).
+
+    ``dists: int32[Q, T]``, ``ids: int32[Q or 1, T]`` → ``([Q, k], [Q, k])``.
+    Ties at the threshold resolve to the lowest position in the chunk, i.e.
+    ascending id when the chunk is id-ordered — the same (dist, id)
+    lexicographic selection the sort-based merge uses.
+    """
+    t = dists.shape[-1]
+    kk = min(k, t)
+    neg, idx = jax.lax.top_k(-dists, kk)
+    ids_b = jnp.broadcast_to(ids, dists.shape)
+    sel = jnp.take_along_axis(ids_b, idx, axis=-1)
+    d = -neg
+    if kk < k:
+        pad = k - kk
+        d = jnp.pad(d, ((0, 0), (0, pad)), constant_values=int(INF_DIST))
+        sel = jnp.pad(sel, ((0, 0), (0, pad)), constant_values=-1)
+    d = jnp.where(sel < 0, INF_DIST, d)
+    return d, sel
+
+
+def kth_stats(pool_dist: jax.Array, pool_id: jax.Array, k: int):
+    """(pool has >= k valid entries, distance of the kth entry) per query."""
+    full = pool_id[..., k - 1] >= 0
+    return full, pool_dist[..., k - 1]

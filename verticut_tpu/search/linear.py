@@ -1,0 +1,31 @@
+"""Brute-force exact K-NN scan — the ground-truth oracle.
+
+Equivalent of ``src/linear_search.cc:39-64`` (fetch every code, XOR+popcount,
+priority-queue top-k), re-cast as a chunked batched device scan. Ties at the
+kth distance resolve by ascending id (deterministic; the reference's heap is
+insertion-order-dependent there, so recall comparisons are done on distance
+multisets — see tests/test_parity.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from verticut_tpu.ops import hamming
+
+
+def linear_search(queries, db, k: int, method: str = "popcount",
+                  chunk: int = 65536):
+    """Exact top-k: returns ``(dists int32[Q, k], ids int32[Q, k])``
+    ascending by (dist, id).
+
+    method: "popcount" (VPU, packed codes) or "matmul" (MXU, ±1 GEMM).
+    """
+    queries = jnp.asarray(queries, jnp.uint32)
+    db = jnp.asarray(db, jnp.uint32)
+    chunk = min(chunk, max(db.shape[0], 8))
+    if method == "popcount":
+        return hamming.scan_popcount(queries, db, k, chunk=chunk)
+    elif method == "matmul":
+        return hamming.scan_matmul(queries, db, k, chunk=chunk)
+    raise ValueError(f"unknown method {method!r}")

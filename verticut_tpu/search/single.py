@@ -1,0 +1,253 @@
+"""Single-device batched MIH search — exact and approximate K-NN.
+
+Re-architecture of ``SearchWorker`` (``src/search_worker.cc:93-264``) for TPU:
+
+* The recursive per-bucket enumeration + RDMA fetch becomes, per radius:
+  ``probes = query_sub ^ flip_masks[r]`` → vectorized directory lookup →
+  fixed-capacity candidate-slot expansion → one batched gather of
+  (id, code) entries → XOR+popcount distances → dedup top-k merge.
+* The master-rank ``std::map`` dedup + bounded priority queue
+  (``:179-198``) becomes the sort-based pool merge in ``ops/topk.py``.
+* The per-radius lockstep with a broadcast stop bit (``:170-207``) becomes a
+  host-side radius loop over a jitted step with per-query ``done`` masks
+  (queries in a batch finish at different radii; done queries probe nothing).
+
+Exactness contract: the reference's stop rule — after processing radius r,
+stop when k found and kth-dist <= (r+1)*m (``:204``, hardcoded m=4 there) —
+plus explicit candidate-buffer overflow detection with automatic cap-doubling
+re-runs (the reference hides the same capacity issue in a 40 MB buffer,
+``src/pilaf_proxy.h:10``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from verticut_tpu import codes as codes_lib
+from verticut_tpu.config import MIHConfig, SearchConfig
+from verticut_tpu.index.mih import MIHIndex, MIHTable
+from verticut_tpu.ops import enumeration, topk
+from verticut_tpu.search import linear as linear_lib
+
+
+class SearchState(NamedTuple):
+    pool_dist: jax.Array   # int32[Q, P]
+    pool_id: jax.Array     # int32[Q, P]
+    done: jax.Array        # bool[Q]
+    radius: jax.Array      # int32[Q] — radius at which each query finished
+    overflow: jax.Array    # bool[Q] — candidate cap exceeded at some radius
+    n_probes: jax.Array    # int32[Q] — enumerated buckets (n_local_reads)
+    n_nonempty: jax.Array  # int32[Q] — non-empty buckets   (n_sub_reads)
+    n_cands: jax.Array     # int32[Q] — candidates scored
+
+
+class SearchResult(NamedTuple):
+    dists: jax.Array   # int32[Q, k] ascending
+    ids: jax.Array     # int32[Q, k] (-1 = fewer than k results exist)
+    radius: np.ndarray
+    n_probes: np.ndarray
+    n_nonempty: np.ndarray
+    n_cands: np.ndarray
+
+
+def init_state(n_queries: int, pool_size: int) -> SearchState:
+    pd, pi = topk.empty_pool(n_queries, pool_size)
+    z = jnp.zeros((n_queries,), jnp.int32)
+    f = jnp.zeros((n_queries,), jnp.bool_)
+    return SearchState(pool_dist=pd, pool_id=pi, done=f, radius=z,
+                       overflow=f, n_probes=z, n_nonempty=z, n_cands=z)
+
+
+# --------------------------------------------------------------------------
+# Candidate-slot expansion: variable bucket sizes → fixed-capacity buffer
+# --------------------------------------------------------------------------
+
+def expand_buckets(starts: jax.Array, counts: jax.Array, cap: int):
+    """Flatten per-probe (start, count) ranges into ``cap`` candidate slots.
+
+    ``starts/counts: int32[Q, C]`` → ``(entry int32[Q, cap],
+    valid bool[Q, cap], total int32[Q])``. Slot p of query q belongs to the
+    probe j whose cumulative-count interval contains p; overflow beyond
+    ``cap`` is truncated (caller re-runs with a doubled cap).
+    """
+    cum = jnp.cumsum(counts, axis=-1)               # inclusive [Q, C]
+    total = cum[:, -1]
+    p = jnp.arange(cap, dtype=jnp.int32)[None, :]   # [1, cap]
+    j = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(
+        cum, jnp.broadcast_to(p, (cum.shape[0], cap)))
+    j = jnp.minimum(j, counts.shape[-1] - 1).astype(jnp.int32)
+    excl = jnp.take_along_axis(cum, j, axis=-1) - \
+        jnp.take_along_axis(counts, j, axis=-1)
+    entry = jnp.take_along_axis(starts, j, axis=-1) + (p - excl)
+    valid = p < jnp.minimum(total, cap)[:, None]
+    return entry, valid, total
+
+
+# --------------------------------------------------------------------------
+# One radius step (jitted per (radius, shapes); tables unrolled)
+# --------------------------------------------------------------------------
+
+def _table_candidates(table: MIHTable, all_codes: Optional[jax.Array],
+                      queries: jax.Array, q_sub: jax.Array,
+                      masks: jax.Array, done: jax.Array, cap: int,
+                      use_bitmap: bool):
+    """Candidates for one table at one radius.
+
+    Returns (cand_dist [Q, cap], cand_id [Q, cap], total, n_probe, n_nonempty).
+    """
+    probes = q_sub[:, None] ^ masks[None, :]            # [Q, C]
+    active = ~done
+    if use_bitmap and table.bitmap is not None:
+        occupied = table.bitmap.get(probes)             # [Q, C]
+        starts, counts = table.directory.lookup(probes)
+        counts = jnp.where(occupied, counts, 0)
+    else:
+        starts, counts = table.directory.lookup(probes)
+    counts = jnp.where(active[:, None], counts, 0)
+    n_probe = jnp.where(active, probes.shape[1], 0).astype(jnp.int32)
+    n_nonempty = jnp.sum((counts > 0).astype(jnp.int32), axis=-1)
+
+    entry, valid, total = expand_buckets(starts, counts, cap)
+    n = table.entry_ids.shape[0]
+    entry_c = jnp.clip(entry, 0, n - 1)
+    cand_id = table.entry_ids[entry_c]                  # [Q, cap]
+    if table.entry_codes is not None:
+        cand_codes = table.entry_codes[entry_c]         # [Q, cap, W]
+    else:
+        cand_codes = all_codes[jnp.clip(cand_id, 0, all_codes.shape[0] - 1)]
+    dist = codes_lib.hamming_distance(cand_codes, queries[:, None, :])
+    cand_id = jnp.where(valid, cand_id, topk.INVALID_ID)
+    dist = jnp.where(valid, dist, topk.INF_DIST)
+    return dist, cand_id, total, n_probe, n_nonempty
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "n_tables", "knn", "pool_size", "cap",
+                     "approximate", "use_bitmap", "s_bits"))
+def radius_step(tables: Tuple[MIHTable, ...], all_codes: Optional[jax.Array],
+                queries: jax.Array, q_subs: jax.Array, masks: jax.Array,
+                state: SearchState, *, radius: int, n_tables: int, knn: int,
+                pool_size: int, cap: int, approximate: bool, use_bitmap: bool,
+                s_bits: int) -> SearchState:
+    """Process one Hamming-ball radius for the whole query batch."""
+    del pool_size  # implied by state shapes
+    cands_d, cands_i = [], []
+    total_c = jnp.zeros_like(state.n_cands)
+    n_probes = state.n_probes
+    n_nonempty = state.n_nonempty
+    overflow = state.overflow
+    for t in range(n_tables):
+        d, i, tot, npb, nne = _table_candidates(
+            tables[t], all_codes, queries, q_subs[:, t], masks, state.done,
+            cap, use_bitmap)
+        cands_d.append(d)
+        cands_i.append(i)
+        total_c = total_c + jnp.minimum(tot, cap)
+        overflow = overflow | (tot > cap)
+        n_probes = n_probes + npb
+        n_nonempty = n_nonempty + nne
+
+    cd = jnp.concatenate(cands_d, axis=-1)
+    ci = jnp.concatenate(cands_i, axis=-1)
+    pd, pi = topk.merge_topk_dedup(state.pool_dist, state.pool_id, cd, ci)
+
+    if approximate:
+        # Stop when the k*factor pool fills (search_worker.cc:136-137).
+        newly_done = pi[:, -1] >= 0
+    else:
+        # Exact MIH completeness rule (search_worker.cc:201-205).
+        full, kth = topk.kth_stats(pd, pi, knn)
+        newly_done = full & (kth <= (radius + 1) * n_tables)
+    newly_done = newly_done | (radius >= s_bits)
+    done = state.done | newly_done
+    rad = jnp.where(state.done, state.radius, radius)
+    return SearchState(pool_dist=pd, pool_id=pi, done=done, radius=rad,
+                       overflow=overflow, n_probes=n_probes,
+                       n_nonempty=n_nonempty, n_cands=state.n_cands + total_c)
+
+
+# --------------------------------------------------------------------------
+# Host driver: adaptive radius loop + overflow / max-radius fallbacks
+# --------------------------------------------------------------------------
+
+def mih_search(index: MIHIndex, queries, scfg: SearchConfig = SearchConfig(),
+               _cap: Optional[int] = None) -> SearchResult:
+    """Batched K-NN over the MIH index.
+
+    The host loop advances the radius in lockstep for the whole batch
+    (the reference's per-radius MPI barrier, one device sync per radius);
+    queries that satisfied their stop rule are masked out. Queries that
+    overflow the candidate cap are re-run with a doubled cap; queries not
+    finished at ``max_enum_radius`` fall back to the exact linear scan
+    (enumeration cost passes brute-force cost long before r=32 anyway —
+    see ops/enumeration.enumeration_cost).
+    """
+    cfg = index.cfg
+    queries = jnp.asarray(queries, jnp.uint32)
+    nq = queries.shape[0]
+    k, pool_size = scfg.knn, scfg.pool_size
+    cap = _cap or scfg.candidate_cap
+    q_subs = index.table_subs(queries)
+    tables = tuple(index.tables)
+    state = init_state(nq, pool_size)
+    max_r = min(scfg.max_enum_radius, cfg.s_bits)
+
+    for r in range(max_r + 1):
+        # Enumeration-vs-scan crossover: once probing the radius-r sphere
+        # costs more than brute-forcing the DB, stop enumerating and let the
+        # linear fallback below finish the stragglers exactly.
+        if (r > 0 and enumeration.n_masks(cfg.s_bits, r) * cfg.n_tables
+                > scfg.fallback_ratio * max(index.n, 1)):
+            break
+        masks = jnp.asarray(enumeration.flip_masks(cfg.s_bits, r))
+        state = radius_step(
+            tables, index.codes, queries, q_subs, masks, state,
+            radius=r, n_tables=cfg.n_tables, knn=k, pool_size=pool_size,
+            cap=cap, approximate=scfg.approximate,
+            use_bitmap=scfg.use_bitmap, s_bits=cfg.s_bits)
+        if bool(jnp.all(state.done)):
+            break
+
+    dists = state.pool_dist[:, :k]
+    ids = state.pool_id[:, :k]
+    radius = np.array(state.radius)
+    overflow = np.asarray(state.overflow)
+    not_done = ~np.asarray(state.done)
+
+    # Overflow retry: exactness contract (SURVEY.md §7 hard part (e)).
+    redo = overflow & ~not_done
+    if redo.any() and cap < index.n:
+        sub = mih_search(index, queries[np.nonzero(redo)[0]], scfg,
+                         _cap=min(cap * 4, max(index.n, 8)))
+        dists = np.asarray(dists).copy()
+        ids = np.asarray(ids).copy()
+        idxs = np.nonzero(redo)[0]
+        dists[idxs] = np.asarray(sub.dists)
+        ids[idxs] = np.asarray(sub.ids)
+        radius[idxs] = sub.radius
+
+    # Max-radius fallback: brute-force the stragglers.
+    if not_done.any():
+        if index.codes is None:
+            raise ValueError(
+                "queries unfinished at max_enum_radius and index has no "
+                "code array for linear fallback; raise max_enum_radius")
+        idxs = np.nonzero(not_done)[0]
+        ld, li = linear_lib.linear_search(queries[idxs], index.codes, k)
+        dists = np.asarray(dists).copy()
+        ids = np.asarray(ids).copy()
+        dists[idxs] = np.asarray(ld)
+        ids[idxs] = np.asarray(li)
+
+    return SearchResult(
+        dists=np.asarray(dists), ids=np.asarray(ids), radius=radius,
+        n_probes=np.asarray(state.n_probes),
+        n_nonempty=np.asarray(state.n_nonempty),
+        n_cands=np.asarray(state.n_cands))
