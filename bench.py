@@ -1,0 +1,93 @@
+"""Headline benchmark: batched exact MIH K-NN throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+North star (BASELINE.md): >1,000,000 batched queries/sec/chip at exact
+recall; vs_baseline = QPS / 1e6.
+
+Workload: LSH-like clustered 128-bit codes (the reference's canonical shape:
+128 bits, 4 tables — src/image_search_constants.h:10-13), queries are
+perturbed DB codes, k=10 exact. Steady-state timing after compile warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from verticut_tpu import codes
+    from verticut_tpu.config import MIHConfig, SearchConfig
+    from verticut_tpu.index.build_native import build_index_native
+    from verticut_tpu.search import mih_search
+
+    n = int(os.environ.get("VERTICUT_BENCH_N", 1_000_000))
+    q_batch = int(os.environ.get("VERTICUT_BENCH_Q", 2048))
+    k = int(os.environ.get("VERTICUT_BENCH_K", 10))
+    cfg = MIHConfig(bits=128, n_tables=4)
+    scfg = SearchConfig(knn=k, candidate_cap=8192, max_enum_radius=5)
+
+    rng = np.random.default_rng(0)
+    log(f"bench: generating {n} clustered codes")
+    packed = codes.clustered_codes(0, n, cfg.bits, n_clusters=n // 200,
+                                   flip_p=0.02)
+    t0 = time.time()
+    index = build_index_native(packed, cfg)  # C++ radix + cuckoo directory
+    jax.block_until_ready(index.tables[-1].entry_ids)
+    build_s = time.time() - t0
+    log(f"bench: build {build_s:.1f}s")
+
+    # queries: perturb random db rows by 3 bit flips
+    sel = rng.integers(0, n, q_batch)
+    qraw = codes.unpack_to_bytes(packed[sel])
+    flips = rng.integers(0, cfg.bits, (q_batch, 3))
+    for i in range(q_batch):
+        for b in flips[i]:
+            qraw[i, b // 8] ^= 1 << (b % 8)
+    queries = jnp.asarray(codes.pack_bytes(qraw))
+
+    # warmup (compile all radius levels this workload touches)
+    t0 = time.time()
+    res = mih_search(index, queries, scfg)
+    log(f"bench: warmup+compile {time.time()-t0:.1f}s "
+        f"radii={np.bincount(res.radius).tolist()}")
+    assert (res.dists[:, 0] <= 3).all(), "planted neighbor missed"
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        res = mih_search(index, queries, scfg)
+        times.append(time.time() - t0)
+        log(f"bench: run {times[-1]:.3f}s")
+    dt = min(times)
+    qps = q_batch / dt
+
+    print(json.dumps({
+        "metric": "mih_exact_qps_per_chip",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / 1e6, 4),
+        "extra": {
+            "n_codes": n, "q_batch": q_batch, "k": k,
+            "batch_latency_s": round(dt, 4),
+            "build_s": round(build_s, 2),
+            "mean_radius": float(np.mean(res.radius)),
+            "mean_probes": float(np.mean(res.n_probes)),
+            "mean_cands": float(np.mean(res.n_cands)),
+            "device": str(__import__("jax").devices()[0].device_kind),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""KV proxy layer, bucket schema, RPC service round-trip, timers."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from verticut_tpu import codes
+from verticut_tpu.config import MIHConfig, SearchConfig
+from verticut_tpu.index import build_index
+from verticut_tpu.kv import BucketStore, MemoryKV, ShardedKV, make_store
+from verticut_tpu.search import linear_search
+
+
+@pytest.mark.parametrize("backend,n_shards", [("memory", 1), ("dht", 1),
+                                              ("memory", 4), ("dht", 3)])
+def test_kv_roundtrip(backend, n_shards):
+    s = make_store(backend, n_shards=n_shards)
+    for i in range(200):
+        s.put(f"k{i}".encode(), f"value-{i}".encode() * (i % 5 + 1))
+    for i in range(200):
+        assert s.get(f"k{i}".encode()) == f"value-{i}".encode() * (i % 5 + 1)
+    assert s.contains(b"k7") and not s.contains(b"nope")
+    assert s.remove(b"k7") and not s.contains(b"k7")
+    s.close()
+
+
+def test_sharded_kv_distributes():
+    shards = [MemoryKV() for _ in range(4)]
+    s = ShardedKV(shards)
+    for i in range(400):
+        s.put(f"key-{i}".encode(), b"v")
+    sizes = [len(m) for m in shards]
+    assert sum(sizes) == 400
+    assert min(sizes) > 40  # roughly uniform
+
+
+def test_bucket_store_schema():
+    bs = BucketStore(MemoryKV(), code_bytes=16)
+    code1, code2 = bytes(range(16)), bytes(range(16, 32))
+    bs.append(2, 12345, 7, code1)
+    bs.append(2, 12345, 9, code2)
+    assert bs.bucket(2, 12345) == [(7, code1), (9, code2)]
+    assert bs.bucket(1, 12345) == []
+    assert bs.contains_pair(2, 12345, 9, code2)
+    assert not bs.contains_pair(2, 12345, 9, code1)
+
+
+def test_streaming_kv_build_matches_sorted_build():
+    """The reference's streaming KV build (build_hash_tables.cc) and our
+    one-shot sort build must produce identical buckets."""
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 256, size=(150, 16), dtype=np.uint8)
+    packed = codes.pack_bytes(raw)
+    cfg = MIHConfig(bits=128, n_tables=4)
+
+    # streaming build through the KV seam
+    bs = BucketStore(make_store("dht"), code_bytes=16)
+    subs = np.asarray(codes.all_substrings(np.asarray(packed), 4))
+    for img_id in range(150):
+        for t in range(4):
+            bs.append(t, int(subs[img_id, t]), img_id, raw[img_id].tobytes())
+
+    # sorted build
+    idx = build_index(packed, cfg)
+    for t in range(4):
+        starts, counts = idx.tables[t].directory.lookup(
+            np.asarray(subs[:, t]))
+        starts, counts = np.asarray(starts), np.asarray(counts)
+        eids = np.asarray(idx.tables[t].entry_ids)
+        for i in range(150):
+            kv_bucket = bs.bucket(t, int(subs[i, t]))
+            csr_ids = eids[starts[i]:starts[i] + counts[i]].tolist()
+            assert [p[0] for p in kv_bucket] == csr_ids, (t, i)
+
+
+def test_rpc_service_roundtrip():
+    from verticut_tpu.service import ImageSearchClient, ImageSearchServer
+    rng = np.random.default_rng(5)
+    raw = rng.integers(0, 256, size=(300, 16), dtype=np.uint8)
+    packed = codes.pack_bytes(raw)
+    idx = build_index(packed, MIHConfig())
+    srv = ImageSearchServer(idx, port=0).start()
+    try:
+        cli = ImageSearchClient(port=srv.port, pool=4)
+        assert cli.ping() == "pong"
+
+        res = cli.search_image_by_id(5, 3)
+        assert res[0][0] == 5 and res[0][1] == 0
+        ld, li = linear_search(packed[5:6], packed, 3)
+        assert sorted(d for _, d in res) == np.asarray(ld)[0].tolist()
+
+        res2 = cli.search_by_code(raw[7].tobytes(), 3)
+        assert res2[0][0] == 7 and res2[0][1] == 0
+
+        batch = cli.search_batch(raw[:4].tobytes(), 2)
+        assert len(batch) == 4
+        for qi in range(4):
+            assert batch[qi][0] == [qi, 0]
+
+        # concurrent clients (image_search_test.cc pthread mode)
+        errs = []
+        def worker(i):
+            try:
+                r = cli.search_image_by_id(i, 2)
+                assert r[0][0] == i
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+        ts = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert not errs
+
+        st = cli.stats()
+        assert st["n_codes"] == 300 and st["n_requests"] >= 14
+        cli.close()
+    finally:
+        srv.stop()
+
+
+def test_timer_accumulates():
+    from verticut_tpu.utils import timer
+    timer.reset()
+    with timer.Timer("unit"):
+        pass
+    with timer.Timer("unit"):
+        pass
+    t = timer.timings()
+    assert t["unit"]["count"] == 2
+    out = timer.show_all_timings()
+    assert "unit" in out
+
+
+def test_oplog_replay(tmp_path):
+    from verticut_tpu.kv.store import OpLogKV
+    p = str(tmp_path / "kv.oplog")
+    s = OpLogKV(MemoryKV(), p)
+    s.put(b"a", b"1")
+    s.put(b"b", b"22" * 100)
+    s.put(b"a", b"updated")
+    s.remove(b"b")
+    s.put(b"c", bytes(range(256)))
+    s.close()
+
+    fresh = MemoryKV()
+    n = OpLogKV.replay(p, fresh)
+    assert n == 5
+    assert fresh.get(b"a") == b"updated"
+    assert fresh.get(b"b") is None
+    assert fresh.get(b"c") == bytes(range(256))

@@ -75,3 +75,62 @@ def test_kth_stats():
     assert bool(full[0]) and int(kth[0]) == 2
     full3, _ = topk.kth_stats(pd, pi, 3)
     assert not bool(full3[0])
+
+
+def test_merge_topk_dedup_packed_matches_general():
+    rng = np.random.default_rng(7)
+    q, p, c, m = 4, 10, 40, 4
+    pd1, pi1 = topk.empty_pool(q, p)
+    pd2, pi2 = topk.empty_pool(q, p)
+    for _ in range(3):
+        # candidate ids with <= m copies each (as in an m-table radius)
+        base = rng.integers(0, 60, size=(q, c // m)).astype(np.int32)
+        cid = np.concatenate([base] * m, axis=1)
+        mask = rng.random((q, c)) < 0.2
+        cid = np.where(mask, -1, cid).astype(np.int32)
+        cdist = np.where(cid >= 0, (cid * 13 + 1) % 120, 0).astype(np.int32)
+        cd, ci = jnp.asarray(cdist), jnp.asarray(cid)
+        pd1, pi1 = topk.merge_topk_dedup(pd1, pi1, cd, ci)
+        pd2, pi2 = topk.merge_topk_dedup_packed(pd2, pi2, cd, ci, n_dup=p * m)
+    assert np.array_equal(np.asarray(pd1), np.asarray(pd2))
+    assert np.array_equal(np.asarray(pi1), np.asarray(pi2))
+
+
+def test_packed_merge_max_dist_boundary():
+    # dist = 128 (full 128-bit complement) must survive packing
+    pd, pi = topk.empty_pool(1, 3)
+    cd = jnp.asarray([[128, 0, 128]], jnp.int32)
+    ci = jnp.asarray([[5, 6, 5]], jnp.int32)
+    pd, pi = topk.merge_topk_dedup_packed(pd, pi, cd, ci, n_dup=6)
+    assert np.asarray(pd).tolist() == [[0, 128, 0x7FFFFFFF]]
+    assert np.asarray(pi).tolist() == [[6, 5, -1]]
+
+
+def test_can_pack_bounds():
+    assert topk.can_pack((1 << 24) - 1, 128)
+    assert not topk.can_pack(1 << 24, 128)
+    assert topk.can_pack(100, 254)
+    assert not topk.can_pack(100, 255)  # all-ones key is the sentinel
+
+
+def test_expand_buckets_matches_numpy():
+    from verticut_tpu.search.single import expand_buckets
+    rng = np.random.default_rng(3)
+    for c, cap in [(1, 8), (8, 16), (32, 64), (33, 128), (500, 64)]:
+        q = 5
+        counts = rng.integers(0, 5, size=(q, c)).astype(np.int32)
+        starts = rng.integers(0, 1000, size=(q, c)).astype(np.int32)
+        entry, valid, total = expand_buckets(
+            jnp.asarray(starts), jnp.asarray(counts), cap)
+        entry, valid, total = (np.asarray(entry), np.asarray(valid),
+                               np.asarray(total))
+        for qi in range(q):
+            expect = []
+            for j in range(c):
+                expect.extend(range(starts[qi, j],
+                                    starts[qi, j] + counts[qi, j]))
+            t = counts[qi].sum()
+            assert total[qi] == t
+            nv = min(t, cap)
+            assert valid[qi, :nv].all() and not valid[qi, nv:].any()
+            assert entry[qi, :nv].tolist() == expect[:nv], (c, cap, qi)

@@ -87,6 +87,12 @@ class SearchConfig:
     candidate_cap: int = 4096
     max_enum_radius: int = 6
     use_bitmap: bool = False
+    # Exact mode only: process radii 0 and 1 as one device step. Results are
+    # identical (both schedules are exact; the pool after the combined step
+    # is a superset of either single step's and the stop rule is checked at
+    # the r=1 bound), but one full-batch launch is saved — and most queries
+    # finish by radius 1 on realistic data.
+    coalesce_radii: bool = True
     # Switch to the brute-force scan once enumerating the next radius costs
     # more probes than scanning the whole DB costs distance evaluations
     # (n_masks(s,r)*m > fallback_ratio*N). The reference has no such

@@ -59,9 +59,24 @@ class MIHIndex:
         return codes_lib.all_substrings(queries, self.cfg.n_tables)
 
 
+def _make_directory(sorted_subs: jax.Array, cfg: MIHConfig,
+                    dense_threshold: int, directory: str):
+    if directory == "auto":
+        directory = "dense" if cfg.s_bits <= dense_threshold else "hash"
+    if directory == "dense":
+        return dir_lib.build_dense(sorted_subs, cfg.s_bits)
+    if directory == "prefix":
+        return dir_lib.build_prefix(sorted_subs, cfg.s_bits)
+    if directory == "sorted":
+        return dir_lib.build_sorted(sorted_subs)
+    if directory == "hash":
+        return dir_lib.build_hash(sorted_subs)
+    raise ValueError(f"unknown directory kind {directory!r}")
+
+
 def _build_table(codes_arr: jax.Array, table_id: int, cfg: MIHConfig,
                  dense_threshold: int, store_codes: bool,
-                 with_bitmap: bool) -> MIHTable:
+                 with_bitmap: bool, directory: str) -> MIHTable:
     n = codes_arr.shape[0]
     subs = codes_lib.substring(codes_arr, table_id, cfg.s_bits)
     ids = jnp.arange(n, dtype=jnp.int32)
@@ -69,10 +84,7 @@ def _build_table(codes_arr: jax.Array, table_id: int, cfg: MIHConfig,
     # reference's sequential-append order (build_hash_tables.cc:54-63).
     sorted_subs, sorted_ids = jax.lax.sort((subs, ids), num_keys=2)
     entry_codes = codes_arr[sorted_ids] if store_codes else None
-    if cfg.s_bits <= dense_threshold:
-        d = dir_lib.build_dense(sorted_subs, cfg.s_bits)
-    else:
-        d = dir_lib.build_sorted(sorted_subs)
+    d = _make_directory(sorted_subs, cfg, dense_threshold, directory)
     bmp = build_bitmap(sorted_subs, cfg.s_bits) if with_bitmap else None
     return MIHTable(entry_ids=sorted_ids, entry_codes=entry_codes,
                     directory=d, bitmap=bmp)
@@ -80,12 +92,14 @@ def _build_table(codes_arr: jax.Array, table_id: int, cfg: MIHConfig,
 
 def build_index(codes_arr, cfg: MIHConfig = MIHConfig(),
                 dense_threshold: int = 24, store_codes: bool = True,
-                with_bitmap: bool = False, keep_codes: bool = True
-                ) -> MIHIndex:
+                with_bitmap: bool = False, keep_codes: bool = True,
+                directory: str = "auto") -> MIHIndex:
     """Build the full m-table index on device.
 
     ``codes_arr``: ``uint32[N, W]`` packed codes, row i = image id i
     (ids are implicit sequential, as in the reference's streaming build).
+    ``directory``: auto | dense | prefix | sorted | hash (auto = dense for
+    narrow substrings, cuckoo hash rows otherwise).
     """
     codes_arr = jnp.asarray(codes_arr, dtype=jnp.uint32)
     if codes_arr.shape[-1] != cfg.n_words:
@@ -93,7 +107,7 @@ def build_index(codes_arr, cfg: MIHConfig = MIHConfig(),
             f"codes have {codes_arr.shape[-1]} words, config wants {cfg.n_words}")
     tables = [
         _build_table(codes_arr, t, cfg, dense_threshold, store_codes,
-                     with_bitmap)
+                     with_bitmap, directory)
         for t in range(cfg.n_tables)
     ]
     return MIHIndex(cfg=cfg, tables=tables, n=codes_arr.shape[0],
@@ -107,17 +121,22 @@ def build_index(codes_arr, cfg: MIHConfig = MIHConfig(),
 # --------------------------------------------------------------------------
 
 def save_index(path: str, index: MIHIndex) -> None:
+    # one batched device->host pull (per-array np.asarray round-trips are
+    # painfully slow through a remote-device tunnel)
+    tables, codes_host = jax.device_get((tuple(index.tables), index.codes))
     arrs = {"n": np.asarray(index.n), "bits": np.asarray(index.cfg.bits),
             "n_tables": np.asarray(index.cfg.n_tables)}
-    if index.codes is not None:
-        arrs["codes"] = np.asarray(index.codes)
-    for t, tab in enumerate(index.tables):
+    if codes_host is not None:
+        arrs["codes"] = np.asarray(codes_host)
+    for t, tab in enumerate(tables):
         arrs[f"t{t}_ids"] = np.asarray(tab.entry_ids)
         if tab.entry_codes is not None:
             arrs[f"t{t}_codes"] = np.asarray(tab.entry_codes)
         if isinstance(tab.directory, dir_lib.DenseDirectory):
             arrs[f"t{t}_offsets"] = np.asarray(tab.directory.offsets)
-        else:
+        elif isinstance(tab.directory, dir_lib.HashDirectory):
+            arrs[f"t{t}_hashrows"] = np.asarray(tab.directory.rows)
+        else:  # Sorted/Prefix: the sorted key column is the whole state
             arrs[f"t{t}_keys"] = np.asarray(tab.directory.keys)
         if tab.bitmap is not None:
             arrs[f"t{t}_bitmap"] = np.asarray(tab.bitmap.words)
@@ -131,8 +150,10 @@ def load_index(path: str) -> MIHIndex:
     for t in range(cfg.n_tables):
         if f"t{t}_offsets" in z:
             d = dir_lib.DenseDirectory(offsets=jnp.asarray(z[f"t{t}_offsets"]))
+        elif f"t{t}_hashrows" in z:
+            d = dir_lib.HashDirectory(rows=jnp.asarray(z[f"t{t}_hashrows"]))
         else:
-            d = dir_lib.SortedDirectory(keys=jnp.asarray(z[f"t{t}_keys"]))
+            d = dir_lib.build_prefix(jnp.asarray(z[f"t{t}_keys"]), cfg.s_bits)
         bmp = (Bitmap(words=jnp.asarray(z[f"t{t}_bitmap"]))
                if f"t{t}_bitmap" in z else None)
         ec = (jnp.asarray(z[f"t{t}_codes"]) if f"t{t}_codes" in z else None)

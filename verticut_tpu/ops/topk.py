@@ -57,6 +57,60 @@ def merge_topk_dedup(pool_dist: jax.Array, pool_id: jax.Array,
     return d, jnp.where(idk == _UMAX, INVALID_ID, idk.astype(jnp.int32))
 
 
+PACKED_ID_BITS = 24  # ids < 2^24 and dist < 2^8 pack into one uint32
+
+
+def can_pack(max_id: int, max_dist: int) -> bool:
+    # strict: the all-ones packed key is reserved as the invalid sentinel
+    return max_id < (1 << PACKED_ID_BITS) and max_dist < (
+        1 << (32 - PACKED_ID_BITS)) - 1
+
+
+def merge_topk_dedup_packed(pool_dist: jax.Array, pool_id: jax.Array,
+                            cand_dist: jax.Array, cand_id: jax.Array,
+                            n_dup: int):
+    """Fast-path merge for ids < 2^24 and dist ≤ 255.
+
+    Packs (dist, id) into one uint32 key ``dist<<24 | id``, so duplicates of
+    an id are *bitwise identical* keys (Hamming distance is a pure function
+    of the id). One ``lax.top_k`` over the bit-inverted keys selects the
+    smallest ``P + n_dup`` pairs; duplicates land adjacent in its sorted
+    output and are compacted with a cumsum-scatter. ``n_dup`` must bound the
+    duplicate copies that can ride along with the P winners — each id has at
+    most one copy per table per radius plus one in the pool, so callers pass
+    ``P * n_tables``. ~4x faster than the two-pass multi-key sort.
+    """
+    p = pool_dist.shape[-1]
+    inv0 = jnp.uint32(0)  # inverted INF: top_k picks largest inverted keys
+    shift = jnp.uint32(PACKED_ID_BITS)
+    kp = jnp.where(pool_id >= 0,
+                   ~((pool_dist.astype(jnp.uint32) << shift)
+                     | pool_id.astype(jnp.uint32)), inv0)
+    kc = jnp.where(cand_id >= 0,
+                   ~((cand_dist.astype(jnp.uint32) << shift)
+                     | cand_id.astype(jnp.uint32)), inv0)
+    keys = jnp.concatenate([kp, kc], axis=-1)
+    width = keys.shape[-1]
+    m = min(p + n_dup, width)
+    top = jax.lax.top_k(keys, m)[0]       # descending inverted = asc packed
+    dup = jnp.concatenate(
+        [jnp.zeros_like(top[..., :1], jnp.bool_),
+         (top[..., 1:] == top[..., :-1]) & (top[..., 1:] != inv0)], axis=-1)
+    # compact survivors: rank = index - (#dups before), scatter to rank
+    rank = jnp.cumsum((~dup).astype(jnp.int32), axis=-1) - 1
+    rank = jnp.where(dup, m, rank)                   # dups fall off the end
+    out = jnp.zeros((top.shape[0], m + 1), jnp.uint32)
+    out = jax.vmap(lambda o, r, t: o.at[r].set(t))(out, rank, top)[:, :p]
+    packed = ~out
+    invalid = out == inv0
+    pid = jnp.where(invalid, INVALID_ID,
+                    (packed & jnp.uint32((1 << PACKED_ID_BITS) - 1))
+                    .astype(jnp.int32))
+    pd = jnp.where(invalid, INF_DIST,
+                   (packed >> shift).astype(jnp.int32))
+    return pd, pid
+
+
 def merge_topk(pool_dist: jax.Array, pool_id: jax.Array,
                cand_dist: jax.Array, cand_id: jax.Array):
     """Merge without dedup (linear-scan path: ids are unique by construction)."""

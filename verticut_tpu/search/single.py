@@ -75,13 +75,43 @@ def expand_buckets(starts: jax.Array, counts: jax.Array, cap: int):
     valid bool[Q, cap], total int32[Q])``. Slot p of query q belongs to the
     probe j whose cumulative-count interval contains p; overflow beyond
     ``cap`` is truncated (caller re-runs with a doubled cap).
+
+    Two lowerings:
+    * compare-reduce (default when Q*C*cap is moderate): a masked sum over
+      the probe axis — pure VPU, zero gathers. Probe segments are disjoint
+      in the slot space, so exactly one term survives per slot.
+    * batched bisection over the cumulative counts for very large C·cap —
+      ceil(log2 C) rounds of take_along_axis. (A vmapped
+      ``jnp.searchsorted`` lowers to a per-row loop, ~10x slower on TPU;
+      and even take_along_axis gathers cost ~100x a VPU op, hence the
+      compare-reduce default.)
     """
+    q, c = counts.shape
     cum = jnp.cumsum(counts, axis=-1)               # inclusive [Q, C]
     total = cum[:, -1]
     p = jnp.arange(cap, dtype=jnp.int32)[None, :]   # [1, cap]
-    j = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(
-        cum, jnp.broadcast_to(p, (cum.shape[0], cap)))
-    j = jnp.minimum(j, counts.shape[-1] - 1).astype(jnp.int32)
+
+    if q * c * cap <= (1 << 31):
+        excl = cum - counts                          # [Q, C]
+        payload = starts - excl                      # entry = p + payload[j]
+        in_seg = ((p[:, None, :] >= excl[:, :, None])
+                  & (p[:, None, :] < cum[:, :, None]))      # [Q, C, cap]
+        entry = p + jnp.sum(
+            jnp.where(in_seg, payload[:, :, None], 0), axis=1)
+        valid = p < jnp.minimum(total, cap)[:, None]
+        return entry, valid, total
+
+    # binary search: smallest j with cum[j] > p  (side="right")
+    lo = jnp.zeros((q, cap), jnp.int32)
+    hi = jnp.full((q, cap), c, jnp.int32)
+    # lo converges within [0, c]: c+1 outcomes need ceil(log2(c+1)) rounds
+    for _ in range(max(1, c.bit_length())):
+        mid = (lo + hi) >> 1
+        cm = jnp.take_along_axis(cum, mid, axis=-1)
+        go_right = cm <= p
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    j = jnp.minimum(lo, c - 1)
     excl = jnp.take_along_axis(cum, j, axis=-1) - \
         jnp.take_along_axis(counts, j, axis=-1)
     entry = jnp.take_along_axis(starts, j, axis=-1) + (p - excl)
@@ -156,7 +186,15 @@ def radius_step(tables: Tuple[MIHTable, ...], all_codes: Optional[jax.Array],
 
     cd = jnp.concatenate(cands_d, axis=-1)
     ci = jnp.concatenate(cands_i, axis=-1)
-    pd, pi = topk.merge_topk_dedup(state.pool_dist, state.pool_id, cd, ci)
+    max_id = max(t.entry_ids.shape[0] for t in tables)
+    bits = queries.shape[-1] * 32
+    if topk.can_pack(max_id - 1, bits):
+        pool_size_ = state.pool_dist.shape[-1]
+        pd, pi = topk.merge_topk_dedup_packed(
+            state.pool_dist, state.pool_id, cd, ci,
+            n_dup=pool_size_ * n_tables)
+    else:
+        pd, pi = topk.merge_topk_dedup(state.pool_dist, state.pool_id, cd, ci)
 
     if approximate:
         # Stop when the k*factor pool fills (search_worker.cc:136-137).
@@ -177,6 +215,49 @@ def radius_step(tables: Tuple[MIHTable, ...], all_codes: Optional[jax.Array],
 # Host driver: adaptive radius loop + overflow / max-radius fallbacks
 # --------------------------------------------------------------------------
 
+def _pow2ceil(x: int) -> int:
+    return 1 << max(0, int(x - 1).bit_length())
+
+
+def _cap_for_radius(scfg: SearchConfig, cfg: MIHConfig, n: int, radii,
+                    pool_size: int) -> int:
+    """Per-radius candidate capacity: sized from the uniform-occupancy
+    expectation plus headroom; overflow detection + re-run covers skewed
+    (clustered) data. Shrinking the cap is the single biggest lever on the
+    gather/merge cost, so it must track the radius, not the worst case."""
+    if isinstance(radii, int):
+        radii = (radii,)
+    n_m = sum(enumeration.n_masks(cfg.s_bits, r) for r in radii)
+    # uniform-occupancy expectation: C probes x n/2^s entries per value
+    expected = n_m * (n / float(1 << cfg.s_bits))
+    cap = _pow2ceil(int(4 * expected) + 4 * pool_size + 128)
+    return int(min(scfg.candidate_cap, max(256, cap)))
+
+@functools.partial(jax.jit, static_argnames=("new_batch",))
+def _compact(queries, q_subs, state: SearchState, sel, n_act,
+             new_batch: int):
+    """One fused gather of all per-query arrays down to the active rows."""
+    sel = sel[:new_batch]
+    q = queries[sel]
+    qs = q_subs[sel]
+    st = SearchState(*(leaf[sel] for leaf in state))
+    pad_mask = jnp.arange(new_batch) >= n_act
+    return q, qs, st._replace(done=st.done | pad_mask)
+
+
+def _retire(final: dict, orig_ids: np.ndarray, state: SearchState,
+            rows: np.ndarray) -> None:
+    """Copy finished rows of the (possibly compacted) device state to host."""
+    if len(rows) == 0:
+        return
+    host = jax.device_get(tuple(state))
+    (pd, pi, done, radius, overflow, n_probes, n_nonempty, n_cands) = host
+    for oi, ri in zip(orig_ids, rows):
+        final[int(oi)] = (pd[ri], pi[ri], radius[ri], overflow[ri],
+                          not done[ri], n_probes[ri], n_nonempty[ri],
+                          n_cands[ri])
+
+
 def mih_search(index: MIHIndex, queries, scfg: SearchConfig = SearchConfig(),
                _cap: Optional[int] = None) -> SearchResult:
     """Batched K-NN over the MIH index.
@@ -191,46 +272,91 @@ def mih_search(index: MIHIndex, queries, scfg: SearchConfig = SearchConfig(),
     """
     cfg = index.cfg
     queries = jnp.asarray(queries, jnp.uint32)
+    queries0 = np.asarray(queries)    # original order, for retry/fallback
     nq = queries.shape[0]
     k, pool_size = scfg.knn, scfg.pool_size
-    cap = _cap or scfg.candidate_cap
     q_subs = index.table_subs(queries)
     tables = tuple(index.tables)
     state = init_state(nq, pool_size)
     max_r = min(scfg.max_enum_radius, cfg.s_bits)
 
-    for r in range(max_r + 1):
+    # Batch compaction: probe cost is paid per batch row whether or not a
+    # query is done (data-independent shapes), and C(s, r) grows fast while
+    # the active set shrinks fast — so between radii we gather the still-
+    # active rows into a pow2-bucketed smaller batch (the per-radius device
+    # sync already exists: it is the reference's lockstep barrier).
+    orig_idx = np.arange(nq)          # active row -> original query row
+    final = {}                        # original row -> host result rows
+
+    # radius schedule: exact mode coalesces {0, 1} into one step (results
+    # identical — see SearchConfig.coalesce_radii)
+    if scfg.coalesce_radii and not scfg.approximate and max_r >= 1:
+        schedule = [(1, (0, 1))] + [(r, (r,)) for r in range(2, max_r + 1)]
+    else:
+        schedule = [(r, (r,)) for r in range(max_r + 1)]
+
+    for r, group in schedule:
         # Enumeration-vs-scan crossover: once probing the radius-r sphere
         # costs more than brute-forcing the DB, stop enumerating and let the
         # linear fallback below finish the stragglers exactly.
-        if (r > 0 and enumeration.n_masks(cfg.s_bits, r) * cfg.n_tables
+        n_group_masks = sum(enumeration.n_masks(cfg.s_bits, g) for g in group)
+        if (r > 1 and n_group_masks * cfg.n_tables
                 > scfg.fallback_ratio * max(index.n, 1)):
             break
-        masks = jnp.asarray(enumeration.flip_masks(cfg.s_bits, r))
+        cap = _cap or _cap_for_radius(scfg, cfg, index.n, group, pool_size)
+        masks = jnp.asarray(np.concatenate(
+            [enumeration.flip_masks(cfg.s_bits, g) for g in group]))
         state = radius_step(
             tables, index.codes, queries, q_subs, masks, state,
             radius=r, n_tables=cfg.n_tables, knn=k, pool_size=pool_size,
             cap=cap, approximate=scfg.approximate,
             use_bitmap=scfg.use_bitmap, s_bits=cfg.s_bits)
-        if bool(jnp.all(state.done)):
+        done_h = np.asarray(state.done)
+        if done_h.all():
             break
+        n_active = int((~done_h).sum())
+        batch = queries.shape[0]
+        new_batch = max(_pow2ceil(n_active), 64)
+        if new_batch <= batch // 2:
+            # retire finished rows to host, keep only active ones
+            done_rows = np.nonzero(done_h)[0]
+            _retire(final, orig_idx[done_rows], state, done_rows)
+            act = np.nonzero(~done_h)[0]
+            n_pad = new_batch - len(act)
+            sel = np.concatenate([act, np.zeros(n_pad, np.int64)])
+            queries, q_subs, state = _compact(
+                queries, q_subs, state, jnp.asarray(sel, jnp.int32),
+                jnp.int32(len(act)), new_batch=new_batch)
+            orig_idx = np.concatenate(
+                [orig_idx[act], np.full(n_pad, -1)])
 
-    dists = state.pool_dist[:, :k]
-    ids = state.pool_id[:, :k]
-    radius = np.array(state.radius)
-    overflow = np.asarray(state.overflow)
-    not_done = ~np.asarray(state.done)
+    # retire everything still in the compacted batch
+    live = orig_idx >= 0
+    _retire(final, orig_idx[live], state, np.nonzero(live)[0])
+
+    dists = np.empty((nq, pool_size), np.int32)
+    ids = np.empty_like(dists)
+    radius = np.empty(nq, np.int32)
+    overflow = np.empty(nq, bool)
+    not_done = np.empty(nq, bool)
+    n_probes = np.empty(nq, np.int32)
+    n_nonempty = np.empty(nq, np.int32)
+    n_cands = np.empty(nq, np.int32)
+    for oi, row in final.items():
+        (dists[oi], ids[oi], radius[oi], overflow[oi], not_done[oi],
+         n_probes[oi], n_nonempty[oi], n_cands[oi]) = row
+    dists = dists[:, :k]
+    ids = ids[:, :k]
 
     # Overflow retry: exactness contract (SURVEY.md §7 hard part (e)).
     redo = overflow & ~not_done
-    if redo.any() and cap < index.n:
-        sub = mih_search(index, queries[np.nonzero(redo)[0]], scfg,
-                         _cap=min(cap * 4, max(index.n, 8)))
-        dists = np.asarray(dists).copy()
-        ids = np.asarray(ids).copy()
+    base_cap = _cap or scfg.candidate_cap
+    if redo.any() and base_cap < index.n:
         idxs = np.nonzero(redo)[0]
-        dists[idxs] = np.asarray(sub.dists)
-        ids[idxs] = np.asarray(sub.ids)
+        sub = mih_search(index, queries0[idxs], scfg,
+                         _cap=min(base_cap * 4, max(index.n, 8)))
+        dists[idxs] = sub.dists
+        ids[idxs] = sub.ids
         radius[idxs] = sub.radius
 
     # Max-radius fallback: brute-force the stragglers.
@@ -240,14 +366,10 @@ def mih_search(index: MIHIndex, queries, scfg: SearchConfig = SearchConfig(),
                 "queries unfinished at max_enum_radius and index has no "
                 "code array for linear fallback; raise max_enum_radius")
         idxs = np.nonzero(not_done)[0]
-        ld, li = linear_lib.linear_search(queries[idxs], index.codes, k)
-        dists = np.asarray(dists).copy()
-        ids = np.asarray(ids).copy()
+        ld, li = linear_lib.linear_search(queries0[idxs], index.codes, k)
         dists[idxs] = np.asarray(ld)
         ids[idxs] = np.asarray(li)
 
-    return SearchResult(
-        dists=np.asarray(dists), ids=np.asarray(ids), radius=radius,
-        n_probes=np.asarray(state.n_probes),
-        n_nonempty=np.asarray(state.n_nonempty),
-        n_cands=np.asarray(state.n_cands))
+    return SearchResult(dists=dists, ids=ids, radius=radius,
+                        n_probes=n_probes, n_nonempty=n_nonempty,
+                        n_cands=n_cands)

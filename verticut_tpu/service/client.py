@@ -1,0 +1,105 @@
+"""msgpack-RPC client — the ``image_search_client`` analog
+(``src/image_search_client.cc``: session-pooled msgpack-rpc with 480 s
+timeout becomes a small pooled TCP client)."""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import socket
+import threading
+
+import msgpack
+
+from verticut_tpu.config import DEFAULT_SERVER_PORT
+
+DEFAULT_TIMEOUT_S = 480.0  # src/image_search_client.cc:29
+POOL_SIZE = 20             # :7-9
+
+
+class ImageSearchClient:
+    def __init__(self, host: str = "127.0.0.1", port: int = DEFAULT_SERVER_PORT,
+                 timeout: float = DEFAULT_TIMEOUT_S, pool: int = POOL_SIZE):
+        self.addr = (host, port)
+        self.timeout = timeout
+        self._pool: "queue.Queue[socket.socket]" = queue.Queue()
+        self._pool_size = pool
+        self._created = 0
+        self._lock = threading.Lock()
+        self._msgid = itertools.count(1)
+
+    def _connect(self) -> socket.socket:
+        s = socket.create_connection(self.addr, timeout=self.timeout)
+        s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        return s
+
+    def _acquire(self) -> socket.socket:
+        try:
+            return self._pool.get_nowait()
+        except queue.Empty:
+            with self._lock:
+                if self._created < self._pool_size:
+                    self._created += 1
+                    return self._connect()
+            return self._pool.get(timeout=self.timeout)
+
+    def _release(self, s: socket.socket):
+        self._pool.put(s)
+
+    def call(self, method: str, *params):
+        msgid = next(self._msgid)
+        payload = msgpack.packb([0, msgid, method, list(params)],
+                                use_bin_type=True)
+        s = self._acquire()
+        try:
+            s.sendall(payload)
+            unpacker = msgpack.Unpacker(raw=False)
+            result = None
+            found = False
+            while not found:
+                data = s.recv(1 << 16)
+                if not data:
+                    raise ConnectionError("server closed connection")
+                unpacker.feed(data)
+                for msg in unpacker:
+                    if msg[0] == 1 and msg[1] == msgid:
+                        if msg[2] is not None:
+                            raise RuntimeError(f"rpc error: {msg[2]}")
+                        result = msg[3]
+                        found = True
+        except Exception:
+            try:
+                s.close()
+            finally:
+                with self._lock:
+                    self._created -= 1
+            raise
+        self._release(s)
+        return result
+
+    # typed helpers ----------------------------------------------------------
+
+    def ping(self) -> str:
+        return self.call("ping")
+
+    def search_image_by_id(self, image_id: int, knn: int = 10,
+                           approximate: bool = False):
+        return self.call("search_image_by_id", image_id, knn, approximate)
+
+    def search_by_code(self, code: bytes, knn: int = 10,
+                       approximate: bool = False):
+        return self.call("search_by_code", code, knn, approximate)
+
+    def search_batch(self, codes_blob: bytes, knn: int = 10,
+                     approximate: bool = False):
+        return self.call("search_batch", codes_blob, knn, approximate)
+
+    def stats(self):
+        return self.call("stats")
+
+    def close(self):
+        while True:
+            try:
+                self._pool.get_nowait().close()
+            except queue.Empty:
+                break

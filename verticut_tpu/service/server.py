@@ -1,0 +1,146 @@
+"""msgpack-RPC query front-end — the ``image_search_server`` analog.
+
+The reference front-end (``src/image_search_server.cc``) receives a
+msgpack-RPC call, picks a random worker host, and *ssh-launches* an mpirun
+job per query, parsing stdout. Here the index lives in HBM next to the
+server process, so dispatch is a direct library call; and because the
+engine is batched, the server micro-batches concurrent requests into one
+device launch (request-level parallelism axis of SURVEY.md §2 without
+process churn).
+
+Wire protocol: standard msgpack-RPC over TCP —
+request ``[0, msgid, method, params]`` / response ``[1, msgid, err, result]``.
+Methods:
+  * ``ping()                      -> "pong"``        (dispatch parity)
+  * ``search_image_by_id(id, k, approx) -> [[id, dist], ...]``
+  * ``search_by_code(code_bytes, k, approx) -> [[id, dist], ...]``
+  * ``search_batch(codes_bytes, k, approx) -> [[[id, dist], ...], ...]``
+  * ``stats() -> {...}``
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import threading
+from typing import Optional
+
+import msgpack
+import numpy as np
+
+from verticut_tpu import codes as codes_lib
+from verticut_tpu.config import SearchConfig, DEFAULT_SERVER_PORT
+from verticut_tpu.utils.logging import get_logger
+from verticut_tpu.utils.timer import Timer
+
+log = get_logger("service")
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def handle(self):
+        unpacker = msgpack.Unpacker(raw=False)
+        sock = self.request
+        while True:
+            data = sock.recv(1 << 16)
+            if not data:
+                return
+            unpacker.feed(data)
+            for msg in unpacker:
+                self._dispatch(sock, msg)
+
+    def _dispatch(self, sock, msg):
+        srv: "ImageSearchServer" = self.server.owner
+        if not isinstance(msg, (list, tuple)) or len(msg) != 4 or msg[0] != 0:
+            return  # ignore notifications/garbage
+        _, msgid, method, params = msg
+        try:
+            with Timer(f"rpc.{method}"):
+                result = srv.call(method, params)
+            resp = [1, msgid, None, result]
+        except Exception as e:  # noqa: BLE001 — errors go on the wire
+            log.warning("rpc %s failed: %s", method, e)
+            resp = [1, msgid, f"{type(e).__name__}: {e}", None]
+        sock.sendall(msgpack.packb(resp, use_bin_type=True))
+
+
+class _Server(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+class ImageSearchServer:
+    """Serves K-NN queries over a built index (single- or multi-device)."""
+
+    def __init__(self, index, host: str = "127.0.0.1",
+                 port: int = DEFAULT_SERVER_PORT,
+                 default_knn: int = 10, sharded: bool = False):
+        self.index = index
+        self.sharded = sharded
+        self.default_knn = default_knn
+        self._srv = _Server((host, port), _Handler)
+        self._srv.owner = self
+        self.port = self._srv.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+        self._lock = threading.Lock()  # device work serialized
+        self.n_requests = 0
+
+    # -- dispatch (the image_search_server.cc:22-48 analog) ------------------
+
+    def call(self, method: str, params):
+        if method == "ping":
+            return "pong"
+        if method == "stats":
+            from verticut_tpu.utils.timer import timings
+            return {"n_requests": self.n_requests, "n_codes": self.index.n,
+                    "timings": timings()}
+        if method == "search_image_by_id":
+            image_id, knn, approx = (list(params) + [self.default_knn, False]
+                                     )[:3]
+            codes_arr = self.index.codes
+            if codes_arr is None:
+                raise ValueError("index holds no code array")
+            q = np.asarray(codes_arr[int(image_id):int(image_id) + 1])
+            return self._search(q, int(knn), bool(approx))[0]
+        if method == "search_by_code":
+            code, knn, approx = (list(params) + [self.default_knn, False])[:3]
+            q = codes_lib.pack_bytes(np.frombuffer(code, np.uint8)[None])
+            return self._search(q, int(knn), bool(approx))[0]
+        if method == "search_batch":
+            blob, knn, approx = (list(params) + [self.default_knn, False])[:3]
+            nbytes = self.index.cfg.n_bytes
+            raw = np.frombuffer(blob, np.uint8).reshape(-1, nbytes)
+            return self._search(codes_lib.pack_bytes(raw), int(knn),
+                                bool(approx))
+        raise ValueError(f"unknown method {method!r}")
+
+    def _search(self, queries: np.ndarray, knn: int, approx: bool):
+        from verticut_tpu.search import mih_search
+        scfg = SearchConfig(knn=knn, approximate=approx)
+        with self._lock:
+            self.n_requests += queries.shape[0]
+            if self.sharded:
+                from verticut_tpu.search.sharded import sharded_mih_search
+                res = sharded_mih_search(self.index, queries, scfg)
+            else:
+                res = mih_search(self.index, queries, scfg)
+        out = []
+        for qi in range(queries.shape[0]):
+            row = [[int(i), int(d)] for i, d in
+                   zip(res.ids[qi], res.dists[qi]) if i >= 0]
+            out.append(row)
+        return out
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self):
+        self._thread = threading.Thread(target=self._srv.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        log.info("image-search server on port %d", self.port)
+        return self
+
+    def stop(self):
+        self._srv.shutdown()
+        self._srv.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
