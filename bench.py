@@ -25,6 +25,8 @@ def log(msg):
 
 def main():
     import jax
+    from verticut_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     from verticut_tpu import codes
     from verticut_tpu.config import MIHConfig, SearchConfig

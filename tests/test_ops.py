@@ -134,3 +134,26 @@ def test_expand_buckets_matches_numpy():
             nv = min(t, cap)
             assert valid[qi, :nv].all() and not valid[qi, nv:].any()
             assert entry[qi, :nv].tolist() == expect[:nv], (c, cap, qi)
+
+
+def test_chunk_topk_affine_matches_numpy():
+    from verticut_tpu.ops.topk import chunk_topk_affine
+    rng = np.random.default_rng(11)
+    layouts = {
+        "random": rng.integers(0, 129, (4, 8192)).astype(np.int32),
+        "ascending": np.tile(np.arange(8192, dtype=np.int32), (2, 1)),
+        "descending": np.tile(np.arange(8192, 0, -1).astype(np.int32), (2, 1)),
+        "all-equal": np.full((2, 8192), 7, np.int32),
+        "ties": np.sort(rng.integers(0, 3, (2, 8192)).astype(np.int32), -1),
+    }
+    k, base, n_valid = 50, 1000, 8000
+    for name, d in layouts.items():
+        got_d, got_i = chunk_topk_affine(jnp.asarray(d), base, k, n_valid)
+        got_d, got_i = np.asarray(got_d), np.asarray(got_i)
+        expect = np.sort(d[:, :n_valid], axis=-1)[:, :k]
+        assert np.array_equal(np.sort(got_d, -1), expect), name
+        # ids index back into the chunk correctly
+        sel = got_i - base
+        vals = np.take_along_axis(d, sel, axis=-1)
+        assert np.array_equal(vals, got_d), name
+        assert (sel < n_valid).all(), name

@@ -15,6 +15,8 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def main():
+    from verticut_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)
     # flag names follow src/args_config.cc:8-17
     p.add_argument("--binary_file", required=True)

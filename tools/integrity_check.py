@@ -10,6 +10,8 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def main():
+    from verticut_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--index", required=True)
     p.add_argument("--chunk", type=int, default=1 << 16)

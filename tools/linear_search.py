@@ -11,6 +11,8 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def main():
+    from verticut_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--binary_file", required=True)
     p.add_argument("--binary_bits", type=int, default=128)

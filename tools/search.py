@@ -21,6 +21,8 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def main():
+    from verticut_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)
     # flags follow src/run_distributed_search.py:29-59
     p.add_argument("--index", required=True)

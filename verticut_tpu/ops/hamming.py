@@ -23,6 +23,12 @@ from verticut_tpu import codes as codes_lib
 from verticut_tpu.ops import topk
 
 
+def _merge(pool, cd, ci, n, bits):
+    if topk.can_pack(n - 1, bits):
+        return topk.merge_topk_packed(pool[0], pool[1], cd, ci)
+    return topk.merge_topk(pool[0], pool[1], cd, ci)
+
+
 def _pad_db(db: jax.Array, chunk: int):
     n = db.shape[0]
     n_pad = (-n) % chunk
@@ -43,15 +49,41 @@ def scan_popcount(queries: jax.Array, db: jax.Array, k: int,
     def body(pool, args):
         chunk_codes, base = args
         d = codes_lib.pairwise_hamming(queries, chunk_codes)
-        ids = base + jnp.arange(chunk, dtype=jnp.int32)[None, :]
-        d = jnp.where(ids < n, d, topk.INF_DIST)
-        ids = jnp.where(ids < n, ids, -1)
-        cd, ci = topk.chunk_topk(d, ids, k)
-        return topk.merge_topk(pool[0], pool[1], cd, ci), None
+        cd, ci = topk.chunk_topk_affine(d, base, k, n - base)
+        return _merge(pool, cd, ci, n, db.shape[-1] * 32), None
 
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     (pd, pi), _ = jax.lax.scan(body, pool, (db_c, bases))
     return pd, pi
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "interpret"))
+def scan_pallas(queries: jax.Array, db: jax.Array, k: int,
+                chunk: int = 131072, interpret: bool = False):
+    """Exact top-k via the fused Pallas unpack+MXU kernel
+    (ops/pallas/linear_scan.py): packed codes never leave HBM unexpanded."""
+    from verticut_tpu.ops.pallas import pallas_pairwise_hamming
+    q_tile, t_tile = 256, 512
+    q, w = queries.shape
+    qp = (-q) % q_tile
+    if qp:
+        queries = jnp.pad(queries, ((0, qp), (0, 0)))
+    chunk = max(t_tile, (chunk // t_tile) * t_tile)
+    db_p, n = _pad_db(db, chunk)
+    n_chunks = db_p.shape[0] // chunk
+    db_c = db_p.reshape(n_chunks, chunk, w)
+    pool = topk.empty_pool(queries.shape[0], k)
+
+    def body(pool, args):
+        chunk_codes, base = args
+        d = pallas_pairwise_hamming(queries, chunk_codes, q_tile=q_tile,
+                                    t_tile=t_tile, interpret=interpret)
+        cd, ci = topk.chunk_topk_affine(d, base, k, n - base)
+        return _merge(pool, cd, ci, n, 32 * w), None
+
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (pd, pi), _ = jax.lax.scan(body, pool, (db_c, bases))
+    return pd[:q], pi[:q]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
@@ -76,11 +108,8 @@ def scan_matmul(queries: jax.Array, db: jax.Array, k: int,
             qpm, dpm, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         d = ((bits - dot) * 0.5).astype(jnp.int32)
-        ids = base + jnp.arange(chunk, dtype=jnp.int32)[None, :]
-        d = jnp.where(ids < n, d, topk.INF_DIST)
-        ids = jnp.where(ids < n, ids, -1)
-        cd, ci = topk.chunk_topk(d, ids, k)
-        return topk.merge_topk(pool[0], pool[1], cd, ci), None
+        cd, ci = topk.chunk_topk_affine(d, base, k, n - base)
+        return _merge(pool, cd, ci, n, bits), None
 
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     (pd, pi), _ = jax.lax.scan(body, pool, (db_c, bases))

@@ -123,18 +123,34 @@ def merge_topk(pool_dist: jax.Array, pool_id: jax.Array,
     return d, jnp.where(idk == _UMAX, INVALID_ID, idk.astype(jnp.int32))
 
 
-def chunk_topk(dists: jax.Array, ids: jax.Array, k: int):
-    """Per-chunk bounded top-k via ``lax.top_k`` (cheaper than a full sort).
+def chunk_topk(dists: jax.Array, ids: jax.Array, k: int,
+               block: int = 2048):
+    """Per-chunk bounded top-k, hierarchical.
 
     ``dists: int32[Q, T]``, ``ids: int32[Q or 1, T]`` → ``([Q, k], [Q, k])``.
-    Ties at the threshold resolve to the lowest position in the chunk, i.e.
-    ascending id when the chunk is id-ordered — the same (dist, id)
-    lexicographic selection the sort-based merge uses.
+
+    ``lax.top_k`` lowers to a full sort on TPU, so a single top-k over a
+    wide chunk (T ~ 64k) dominates the whole scan. Instead: blockwise top-k
+    (each block's winners are a superset of its global-top-k members —
+    exactness preserved), then a final top-k over the concatenated winners.
+    Ties at the threshold resolve to the lowest position (ascending id for
+    id-ordered chunks) at both levels — the same (dist, id) lexicographic
+    selection the sort-based merge uses.
     """
     t = dists.shape[-1]
+    ids_b = jnp.broadcast_to(ids, dists.shape)
+    if t > 2 * block and t % block == 0 and k <= block:
+        q = dists.shape[0]
+        nb = t // block
+        db = dists.reshape(q, nb, block)
+        ib = ids_b.reshape(q, nb, block)
+        neg, idx = jax.lax.top_k(-db, k)               # [Q, nb, k]
+        sel = jnp.take_along_axis(ib, idx, axis=-1)
+        dists = (-neg).reshape(q, nb * k)
+        ids_b = sel.reshape(q, nb * k)
+        t = nb * k
     kk = min(k, t)
     neg, idx = jax.lax.top_k(-dists, kk)
-    ids_b = jnp.broadcast_to(ids, dists.shape)
     sel = jnp.take_along_axis(ids_b, idx, axis=-1)
     d = -neg
     if kk < k:
@@ -143,6 +159,72 @@ def chunk_topk(dists: jax.Array, ids: jax.Array, k: int):
         sel = jnp.pad(sel, ((0, 0), (0, pad)), constant_values=-1)
     d = jnp.where(sel < 0, INF_DIST, d)
     return d, sel
+
+
+def merge_topk_packed(pool_dist: jax.Array, pool_id: jax.Array,
+                      cand_dist: jax.Array, cand_id: jax.Array):
+    """No-dedup merge via one uint32-packed ``lax.top_k``.
+
+    Requires ``can_pack`` bounds (ids < 2^24, dist <= 254). A multi-key
+    ``lax.sort`` on TPU costs ~30 ms even for a [1024, 200] operand (the
+    variadic-sort lowering); ``top_k`` on the same shape is microseconds.
+    """
+    p = pool_dist.shape[-1]
+    shift = jnp.uint32(PACKED_ID_BITS)
+    kp = jnp.where(pool_id >= 0,
+                   ~((pool_dist.astype(jnp.uint32) << shift)
+                     | pool_id.astype(jnp.uint32)), jnp.uint32(0))
+    kc = jnp.where(cand_id >= 0,
+                   ~((cand_dist.astype(jnp.uint32) << shift)
+                     | cand_id.astype(jnp.uint32)), jnp.uint32(0))
+    keys = jnp.concatenate([kp, kc], axis=-1)
+    top = jax.lax.top_k(keys, p)[0]
+    packed = ~top
+    invalid = top == jnp.uint32(0)
+    pid = jnp.where(invalid, INVALID_ID,
+                    (packed & jnp.uint32((1 << PACKED_ID_BITS) - 1))
+                    .astype(jnp.int32))
+    pd = jnp.where(invalid, INF_DIST, (packed >> shift).astype(jnp.int32))
+    return pd, pid
+
+
+def chunk_topk_affine(dists: jax.Array, base, k: int, n_valid,
+                      block: int = 2048):
+    """Hierarchical chunk top-k for position-affine ids (id = base + pos).
+
+    Avoids all bulk id gathers: blockwise ``top_k`` indices *are* the
+    in-block positions, so candidate ids come from arithmetic on the
+    returned indices (a take_along_axis with computed indices costs
+    ~30 ns/element in random-gather latency — it was 100 ms per 64k-chunk,
+    the entire scan bottleneck). Blockwise-then-merge also beats both a
+    flat ``lax.top_k`` (~4x) and ``lax.approx_min_k`` at recall 1.0 (~2x)
+    on TPU, measured at [1024, 65536] k=100.
+    ``dists: int32[Q, T]``; positions >= n_valid are invalid.
+    """
+    q, t = dists.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
+    dists = jnp.where(pos < n_valid, dists, INF_DIST)
+    if t > 2 * block and t % block == 0 and k <= block:
+        nb = t // block
+        db = dists.reshape(q, nb, block)
+        neg, idx = jax.lax.top_k(-db, k)                    # [Q, nb, k]
+        block_base = (jnp.arange(nb, dtype=jnp.int32) * block)[None, :, None]
+        ids1 = (block_base + idx).reshape(q, nb * k)        # in-chunk pos
+        d1 = (-neg).reshape(q, nb * k)
+    else:
+        d1 = dists
+        ids1 = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.int32, (1, t), 1), (q, t))
+    kk = min(k, d1.shape[-1])
+    neg, idx2 = jax.lax.top_k(-d1, kk)
+    d = -neg
+    sel = jnp.take_along_axis(ids1, idx2, axis=-1)          # only [Q, k]
+    if kk < k:
+        d = jnp.pad(d, ((0, 0), (0, k - kk)), constant_values=int(INF_DIST))
+        sel = jnp.pad(sel, ((0, 0), (0, k - kk)), constant_values=-1)
+    invalid = d >= INF_DIST
+    gids = jnp.where(invalid, INVALID_ID, base + sel)
+    return jnp.where(invalid, INF_DIST, d), gids
 
 
 def kth_stats(pool_dist: jax.Array, pool_id: jax.Array, k: int):

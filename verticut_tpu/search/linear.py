@@ -28,4 +28,9 @@ def linear_search(queries, db, k: int, method: str = "popcount",
         return hamming.scan_popcount(queries, db, k, chunk=chunk)
     elif method == "matmul":
         return hamming.scan_matmul(queries, db, k, chunk=chunk)
+    elif method == "pallas":
+        import jax
+        interp = jax.devices()[0].platform != "tpu"
+        return hamming.scan_pallas(queries, db, k, chunk=max(chunk, 512),
+                                   interpret=interp)
     raise ValueError(f"unknown method {method!r}")

@@ -116,15 +116,22 @@ class ImageSearchServer:
     def _search(self, queries: np.ndarray, knn: int, approx: bool):
         from verticut_tpu.search import mih_search
         scfg = SearchConfig(knn=knn, approximate=approx)
+        nq = queries.shape[0]
+        # pad the batch to a power of two so repeat request sizes hit the
+        # compile cache (every distinct shape is a fresh XLA program)
+        n_pad = max(8, 1 << (nq - 1).bit_length()) - nq
+        if n_pad:
+            queries = np.concatenate(
+                [queries, np.repeat(queries[:1], n_pad, axis=0)])
         with self._lock:
-            self.n_requests += queries.shape[0]
+            self.n_requests += nq
             if self.sharded:
                 from verticut_tpu.search.sharded import sharded_mih_search
                 res = sharded_mih_search(self.index, queries, scfg)
             else:
                 res = mih_search(self.index, queries, scfg)
         out = []
-        for qi in range(queries.shape[0]):
+        for qi in range(nq):
             row = [[int(i), int(d)] for i, d in
                    zip(res.ids[qi], res.dists[qi]) if i >= 0]
             out.append(row)

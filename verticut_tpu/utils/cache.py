@@ -1,0 +1,26 @@
+"""Persistent XLA compilation cache.
+
+MIH search compiles one program per (radius-group, batch-bucket, cap)
+combination; cold compiles through a remote-compile tunnel cost tens of
+seconds each. The persistent cache makes every later process start warm
+(measured 1.3 s -> 0.08 s per program), which matters for CLI tools, the
+serving front-end, and repeated benchmark runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+
+
+def enable_compilation_cache(path: str = "") -> str:
+    import jax
+
+    path = path or os.environ.get("VERTICUT_JAX_CACHE", _DEFAULT_DIR)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path
