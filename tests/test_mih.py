@@ -58,7 +58,7 @@ def test_exact_mih_matches_brute_force(n_tables, clustered):
     q = packed[:16]
     # default fallback_ratio: s_bits=32 cuts over to the linear scan after
     # radius 2 (C(32,3)*4 > 4*500); s_bits=8 enumerates fully. Both exact.
-    scfg = SearchConfig(knn=k, max_enum_radius=cfg.s_bits, candidate_cap=512)
+    scfg = SearchConfig(fused=False, knn=k, max_enum_radius=cfg.s_bits, candidate_cap=512)
     res = mih_search(idx, q, scfg)
     ld, li = linear_search(q, packed, k)
     ld = np.asarray(ld)
@@ -74,7 +74,7 @@ def test_exact_mih_matches_brute_force(n_tables, clustered):
 def test_exact_stop_radius_reasonable():
     raw, packed = make_db(n=2000, seed=7)
     idx = build_index(packed, MIHConfig())
-    res = mih_search(idx, packed[:8], SearchConfig(knn=5, max_enum_radius=32,
+    res = mih_search(idx, packed[:8], SearchConfig(fused=False, knn=5, max_enum_radius=32,
                                                    candidate_cap=2048))
     # self-match plus random 128-bit dists ~64 means several radii
     assert (res.radius >= 1).all()
@@ -88,7 +88,7 @@ def test_overflow_retry_preserves_exactness():
     k = 5
     # tiny cap forces overflow + retry
     res = mih_search(idx, packed[:8],
-                     SearchConfig(knn=k, candidate_cap=16, max_enum_radius=8))
+                     SearchConfig(fused=False, knn=k, candidate_cap=16, max_enum_radius=8))
     ld, _ = linear_search(packed[:8], packed, k)
     assert np.array_equal(np.sort(res.dists, -1), np.sort(np.asarray(ld), -1))
 
@@ -97,11 +97,11 @@ def test_approximate_mode_fills_pool_and_is_sane():
     raw, packed = make_db(n=3000, seed=11)
     idx = build_index(packed, MIHConfig())
     k = 10
-    exact = mih_search(idx, packed[:6], SearchConfig(knn=k, max_enum_radius=32,
+    exact = mih_search(idx, packed[:6], SearchConfig(fused=False, knn=k, max_enum_radius=32,
                                                      candidate_cap=4096))
     approx = mih_search(
         idx, packed[:6],
-        SearchConfig(knn=k, approximate=True, approximate_factor=5,
+        SearchConfig(fused=False, knn=k, approximate=True, approximate_factor=5,
                      max_enum_radius=32, candidate_cap=4096))
     # approximate results are real distances and no better than exact
     d_check = np.asarray(codes.hamming_distance(
@@ -114,10 +114,10 @@ def test_bitmap_filter_does_not_change_results():
     raw, packed = make_db(n=300, seed=13)
     cfg = MIHConfig(bits=128, n_tables=16)
     idx = build_index(packed, cfg, with_bitmap=True)
-    scfg = SearchConfig(knn=5, max_enum_radius=8, candidate_cap=1024)
+    scfg = SearchConfig(fused=False, knn=5, max_enum_radius=8, candidate_cap=1024)
     r1 = mih_search(idx, packed[:8], scfg)
     r2 = mih_search(idx, packed[:8],
-                    SearchConfig(knn=5, max_enum_radius=8, candidate_cap=1024,
+                    SearchConfig(fused=False, knn=5, max_enum_radius=8, candidate_cap=1024,
                                  use_bitmap=True))
     assert np.array_equal(r1.dists, r2.dists)
     assert np.array_equal(r1.ids, r2.ids)
@@ -128,7 +128,7 @@ def test_compact_index_no_inline_codes():
     idx = build_index(packed, MIHConfig(bits=128, n_tables=16),
                       store_codes=False)
     res = mih_search(idx, packed[:5],
-                     SearchConfig(knn=5, max_enum_radius=8, candidate_cap=1024,
+                     SearchConfig(fused=False, knn=5, max_enum_radius=8, candidate_cap=1024,
                                   fallback_ratio=1e9))
     ld, _ = linear_search(packed[:5], packed, 5)
     assert np.array_equal(np.sort(res.dists, -1), np.sort(np.asarray(ld), -1))
@@ -140,7 +140,7 @@ def test_save_load_roundtrip(tmp_path):
     p = str(tmp_path / "index.npz")
     save_index(p, idx)
     idx2 = load_index(p)
-    scfg = SearchConfig(knn=5, max_enum_radius=32, candidate_cap=512)
+    scfg = SearchConfig(fused=False, knn=5, max_enum_radius=32, candidate_cap=512)
     r1 = mih_search(idx, packed[:4], scfg)
     r2 = mih_search(idx2, packed[:4], scfg)
     assert np.array_equal(r1.dists, r2.dists)
@@ -151,7 +151,7 @@ def test_stats_counters_populated():
     raw, packed = make_db(n=500, seed=19)
     idx = build_index(packed, MIHConfig(bits=128, n_tables=16))
     res = mih_search(idx, packed[:4],
-                     SearchConfig(knn=3, max_enum_radius=8, candidate_cap=2048,
+                     SearchConfig(fused=False, knn=3, max_enum_radius=8, candidate_cap=2048,
                                   fallback_ratio=1e9))
     assert (res.n_probes > 0).all()
     assert (res.n_nonempty >= 1).all()   # own bucket at least

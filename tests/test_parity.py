@@ -39,7 +39,7 @@ def test_exact_parity_with_reference_model(bits, n_tables, n, k):
     model = RefMIH(raw, n_tables)
     cfg = MIHConfig(bits=bits, n_tables=n_tables)
     idx = build_index(packed, cfg)
-    scfg = SearchConfig(knn=k, max_enum_radius=cfg.s_bits, candidate_cap=2048,
+    scfg = SearchConfig(fused=False, knn=k, max_enum_radius=cfg.s_bits, candidate_cap=2048,
                         fallback_ratio=1e9)
     nq = 10
     res = mih_search(idx, packed[:nq], scfg)
@@ -57,7 +57,7 @@ def test_approx_parity_with_reference_model(bits, n_tables, n, k, factor):
     model = RefMIH(raw, n_tables)
     cfg = MIHConfig(bits=bits, n_tables=n_tables)
     idx = build_index(packed, cfg)
-    scfg = SearchConfig(knn=k, approximate=True, approximate_factor=factor,
+    scfg = SearchConfig(fused=False, knn=k, approximate=True, approximate_factor=factor,
                         max_enum_radius=cfg.s_bits, candidate_cap=4096,
                         fallback_ratio=1e9)
     nq = 8
@@ -73,7 +73,7 @@ def test_stop_rule_never_violated():
     raw, packed = _setup(250, 64, seed=5)
     cfg = MIHConfig(bits=64, n_tables=4)
     idx = build_index(packed, cfg)
-    scfg = SearchConfig(knn=4, max_enum_radius=cfg.s_bits, candidate_cap=2048,
+    scfg = SearchConfig(fused=False, knn=4, max_enum_radius=cfg.s_bits, candidate_cap=2048,
                         fallback_ratio=1e9)
     res = mih_search(idx, packed[:10], scfg)
     for qi in range(10):

@@ -93,6 +93,10 @@ class SearchConfig:
     # the r=1 bound), but one full-batch launch is saved — and most queries
     # finish by radius 1 on realistic data.
     coalesce_radii: bool = True
+    # Run the whole radius schedule as one device program with device-side
+    # compaction (single host sync). Falls back automatically to the
+    # adaptive per-radius loop if the active set outgrows a stage budget.
+    fused: bool = True
     # Switch to the brute-force scan once enumerating the next radius costs
     # more probes than scanning the whole DB costs distance evaluations
     # (n_masks(s,r)*m > fallback_ratio*N). The reference has no such

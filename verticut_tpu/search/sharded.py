@@ -54,15 +54,12 @@ class ShardedMIHIndex:
     n: int
     entry_ids: jax.Array
     entry_codes: jax.Array
-    keys: jax.Array      # substring-sorted column per table (the directory)
     codes: jax.Array
-    # two-level directory acceleration (index/directory.PrefixDirectory):
-    # global per-table offsets over the top pbits of the substring value;
-    # devices localize ranges to their shard slice at probe time
-    prefix_offsets: jax.Array   # int32[m, 2^pbits + 1]
-    run_end: jax.Array          # int32[m, Ntot] — shard-local equal-run ends
-    dir_shift: int              # s_bits - pbits (static)
-    dir_iters: int              # bisection rounds (static)
+    # per-(table, shard) cuckoo hash directory over the *local* key slice
+    # (index/directory.HashDirectory layout: 16B rows [key, start, count, 0],
+    # starts/counts in shard-local coordinates — a bucket straddling a shard
+    # boundary appears piecewise in both shards and merges downstream)
+    hash_rows: jax.Array        # uint32[m, n_shards, S, 4]
 
     @property
     def n_shards(self) -> int:
@@ -106,25 +103,40 @@ def build_sharded_index(codes_arr, cfg: MIHConfig, mesh: Mesh
         ids_t.append(si)
         codes_t.append(jnp.where((si >= 0)[:, None],
                                  codes_arr[jnp.clip(si, 0, n - 1)], 0))
-    keys = jnp.stack(keys_t)                    # [m, Ntot]
     entry_ids = jnp.stack(ids_t)                # [m, Ntot]
     entry_codes = jnp.stack(codes_t)            # [m, Ntot, W]
     codes_padded = jnp.concatenate(
         [codes_arr, jnp.zeros((n_pad, cfg.n_words), jnp.uint32)])
 
-    from verticut_tpu.index import directory as dir_lib
-    pbits = dir_lib.pick_pbits(n_tot, cfg.s_bits)
-    pdirs = [dir_lib.build_prefix(keys[t], cfg.s_bits, pbits)
-             for t in range(cfg.n_tables)]
-    prefix_offsets = jnp.stack([p.prefix_offsets for p in pdirs])
-    dir_iters = max(p.iters for p in pdirs)
-    dir_shift = pdirs[0].shift
-    # run_end localized to each row's own shard slice: a run that crosses a
-    # shard boundary is truncated here and continued by the next shard
-    n_loc = n_tot // mesh.shape["shard"]
-    row_base = (jnp.arange(n_tot, dtype=jnp.int32) // n_loc) * n_loc
-    run_end = jnp.stack(
-        [jnp.clip(p.run_end - row_base, 0, n_loc) for p in pdirs])
+    # per-(table, shard) cuckoo directories over the local sorted slices
+    # (host C++ build; same slot count everywhere so the stack is regular)
+    from verticut_tpu import native
+    n_shards = mesh.shape["shard"]
+    n_loc = n_tot // n_shards
+    keys_host = [np.asarray(kt) for kt in keys_t]
+    n_slots = 8
+    for kh in keys_host:
+        for s in range(n_shards):
+            sl = kh[s * n_loc:(s + 1) * n_loc]
+            uniq = 1 if len(sl) == 0 else int((sl[1:] != sl[:-1]).sum()) + 1
+            n_slots = max(n_slots, 1 << max(
+                3, int(np.ceil(np.log2(max(uniq, 1) / 0.4)))))
+    while True:  # a failed cuckoo build doubles its table; keep stack regular
+        rows = np.zeros((cfg.n_tables, n_shards, n_slots, 4), np.uint32)
+        grew = False
+        for t in range(cfg.n_tables):
+            for s in range(n_shards):
+                tbl = native.build_hashdir(
+                    keys_host[t][s * n_loc:(s + 1) * n_loc], n_slots)
+                if tbl.shape[0] != n_slots:
+                    n_slots = tbl.shape[0]
+                    grew = True
+                    break
+                rows[t, s] = tbl
+            if grew:
+                break
+        if not grew:
+            break
 
     # replicate table dim if the mesh folds tables onto one slice
     tspec = "table" if mesh.shape["table"] == cfg.n_tables else None
@@ -135,37 +147,32 @@ def build_sharded_index(codes_arr, cfg: MIHConfig, mesh: Mesh
         cfg=cfg, mesh=mesh, n=n,
         entry_ids=jax.device_put(entry_ids, s_te),
         entry_codes=jax.device_put(entry_codes, s_tc),
-        keys=jax.device_put(keys, s_te),
         codes=jax.device_put(codes_padded, s_db),
-        prefix_offsets=jax.device_put(
-            prefix_offsets, NamedSharding(mesh, P(tspec, None))),
-        run_end=jax.device_put(run_end, s_te),
-        dir_shift=dir_shift, dir_iters=dir_iters)
+        hash_rows=jax.device_put(
+            jnp.asarray(rows),
+            NamedSharding(mesh, P(tspec, "shard", None, None))))
 
 
 # --------------------------------------------------------------------------
 # Per-device radius step
 # --------------------------------------------------------------------------
 
-def _device_radius_step(entry_ids, entry_codes, keys, prefix_offsets,
-                        run_end, queries, q_subs, masks,
-                        state: SearchState, *, radius, n_tables,
+def _device_radius_step(entry_ids, entry_codes, hash_rows, queries, q_subs,
+                        masks, state: SearchState, *, radius, n_tables,
                         n_mesh_tables, knn, cap, approximate, s_bits,
-                        n_total, dir_shift, dir_iters):
+                        n_total):
     """Runs on one device inside shard_map. Local blocks:
 
-    entry_ids [Tl, Nl], entry_codes [Tl, Nl, W], keys [Tl, Nl],
-    prefix_offsets [Tl, 2^p+1] (global offsets, localized below),
-    queries [Ql, W], q_subs [Ql, m], state leaves [Ql, ...].
-    ``Tl`` = tables per device (m when the table axis is folded to 1).
+    entry_ids [Tl, Nl], entry_codes [Tl, Nl, W], hash_rows [Tl, 1, S, 4]
+    (shard-local cuckoo directory), queries [Ql, W], q_subs [Ql, m],
+    state leaves [Ql, ...]. ``Tl`` = tables per device (m when the table
+    axis is folded to 1).
     """
-    from verticut_tpu.index.directory import prefix_range_search
+    from verticut_tpu.index.directory import HashDirectory
     gather_axes = ("table", "shard")
     t0 = jax.lax.axis_index("table")
-    shard_i = jax.lax.axis_index("shard")
     tl = entry_ids.shape[0]
     nl = entry_ids.shape[1]
-    shard_base = (shard_i * nl).astype(jnp.int32)
     active = ~state.done
 
     all_d, all_i = [], []
@@ -179,14 +186,8 @@ def _device_radius_step(entry_ids, entry_codes, keys, prefix_offsets,
         tglob = t0 * tl + tt if n_mesh_tables > 1 else tt
         my_sub = jnp.take(q_subs, tglob, axis=1)
         probes = my_sub[:, None] ^ masks[None, :]           # [Ql, C]
-        # two-level lookup: global prefix range -> local shard range
-        pref = (probes >> jnp.uint32(dir_shift)).astype(jnp.int32)
-        lo0 = jnp.clip(prefix_offsets[tt][pref] - shard_base, 0, nl)
-        hi0 = jnp.clip(prefix_offsets[tt][pref + 1] - shard_base, 0, nl)
-        lo, hi = prefix_range_search(keys[tt], probes, lo0, hi0, dir_iters,
-                                     run_end=run_end[tt])
-        starts = lo.astype(jnp.int32)
-        counts = (hi - lo).astype(jnp.int32)
+        # local cuckoo directory probe: 2 independent row gathers
+        starts, counts = HashDirectory(hash_rows[tt, 0]).lookup(probes)
         counts = jnp.where(active[:, None], counts, 0)
         n_probe = n_probe + jnp.where(active, probes.shape[1], 0)
         n_nonempty = n_nonempty + jnp.sum((counts > 0).astype(jnp.int32), -1)
@@ -234,33 +235,29 @@ def _device_radius_step(entry_ids, entry_codes, keys, prefix_offsets,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "radius", "n_tables", "knn", "cap",
-                     "approximate", "s_bits", "n_total", "dir_shift",
-                     "dir_iters"))
-def sharded_radius_step(mesh: Mesh, entry_ids, entry_codes, keys,
-                        prefix_offsets, run_end, queries, q_subs, masks,
-                        state: SearchState, *, radius: int, n_tables: int,
-                        knn: int, cap: int, approximate: bool, s_bits: int,
-                        n_total: int, dir_shift: int, dir_iters: int
+                     "approximate", "s_bits", "n_total"))
+def sharded_radius_step(mesh: Mesh, entry_ids, entry_codes, hash_rows,
+                        queries, q_subs, masks, state: SearchState, *,
+                        radius: int, n_tables: int, knn: int, cap: int,
+                        approximate: bool, s_bits: int, n_total: int
                         ) -> SearchState:
     n_mesh_tables = mesh.shape["table"]
     fn = functools.partial(
         _device_radius_step, radius=radius, n_tables=n_tables,
         n_mesh_tables=n_mesh_tables, knn=knn, cap=cap,
-        approximate=approximate, s_bits=s_bits, n_total=n_total,
-        dir_shift=dir_shift, dir_iters=dir_iters)
+        approximate=approximate, s_bits=s_bits, n_total=n_total)
     tspec = "table" if n_mesh_tables > 1 else None
     return jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(tspec, "shard"), P(tspec, "shard", None),
-                  P(tspec, "shard"), P(tspec, None), P(tspec, "shard"),
+                  P(tspec, "shard", None, None),
                   P("query", None), P("query", None), P(), P("query")),
         out_specs=SearchState(
             pool_dist=P("query"), pool_id=P("query"), done=P("query"),
             radius=P("query"), overflow=P("query"), n_probes=P("query"),
             n_nonempty=P("query"), n_cands=P("query")),
         check_vma=False,
-    )(entry_ids, entry_codes, keys, prefix_offsets, run_end, queries,
-      q_subs, masks, state)
+    )(entry_ids, entry_codes, hash_rows, queries, q_subs, masks, state)
 
 
 # --------------------------------------------------------------------------
@@ -329,13 +326,11 @@ def sharded_mih_search(index: ShardedMIHIndex, queries,
         cap = _cap or _cap_for_radius(scfg, cfg, index.n, r, pool_size)
         masks = jnp.asarray(enumeration.flip_masks(cfg.s_bits, r))
         state = sharded_radius_step(
-            mesh, index.entry_ids, index.entry_codes, index.keys,
-            index.prefix_offsets, index.run_end, queries, q_subs, masks,
-            state, radius=r,
+            mesh, index.entry_ids, index.entry_codes, index.hash_rows,
+            queries, q_subs, masks, state, radius=r,
             n_tables=cfg.n_tables, knn=k, cap=cap,
             approximate=scfg.approximate, s_bits=cfg.s_bits,
-            n_total=index.n, dir_shift=index.dir_shift,
-            dir_iters=index.dir_iters)
+            n_total=index.n)
         if bool(jnp.all(state.done)):
             break
 

@@ -245,6 +245,71 @@ def _compact(queries, q_subs, state: SearchState, sel, n_act,
     return q, qs, st._replace(done=st.done | pad_mask)
 
 
+def _scatter_rows(full: SearchState, orig: jax.Array,
+                  cur: SearchState) -> SearchState:
+    return SearchState(*(f.at[orig].set(c) for f, c in zip(full, cur)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("schedule", "caps", "batch_caps", "n_tables", "knn",
+                     "pool_size", "approximate", "use_bitmap", "s_bits"))
+def fused_pipeline(tables, all_codes, queries, q_subs, masks_tuple,
+                   state0: SearchState, *, schedule, caps, batch_caps,
+                   n_tables, knn, pool_size, approximate, use_bitmap,
+                   s_bits):
+    """The whole radius schedule as ONE device program.
+
+    The loop driver costs one host round-trip per radius (the done-check)
+    plus two per compaction — ~30 ms each through a remote-device tunnel,
+    dominating the actual ~70 ms of compute. Here the compaction happens on
+    device (stable sort by done-flag; active rows first), stage batch sizes
+    are fixed up front (``batch_caps``), and a ``compact_ovf`` flag reports
+    if the active set ever exceeded its stage budget — the host then falls
+    back to the adaptive loop driver for exactness. One dispatch, one sync.
+    """
+    nq = queries.shape[0]
+    full = state0
+    orig = jnp.arange(nq, dtype=jnp.int32)
+    cur_q, cur_qs, cur_state = queries, q_subs, state0
+    compact_ovf = jnp.zeros((), jnp.bool_)
+
+    for i, (r, _group) in enumerate(schedule):
+        # runtime stage skip: late radii have huge mask sets but usually no
+        # active queries left; lax.cond executes only the taken branch
+        def _run(args):
+            cq, cqs, cs, fl, og = args
+            cs = radius_step(
+                tables, all_codes, cq, cqs, masks_tuple[i], cs,
+                radius=r, n_tables=n_tables, knn=knn, pool_size=pool_size,
+                cap=caps[i], approximate=approximate, use_bitmap=use_bitmap,
+                s_bits=s_bits)
+            return cs, _scatter_rows(fl, og, cs)
+
+        def _skip(args):
+            _cq, _cqs, cs, fl, _og = args
+            return cs, fl
+
+        cur_state, full = jax.lax.cond(
+            jnp.all(cur_state.done), _skip, _run,
+            (cur_q, cur_qs, cur_state, full, orig))
+        if i + 1 < len(schedule):
+            nb = batch_caps[i + 1]
+            if nb < cur_q.shape[0]:
+                done_key = cur_state.done.astype(jnp.int32)
+                n_active = jnp.sum(1 - done_key)
+                compact_ovf = compact_ovf | (n_active > nb)
+                _, perm = jax.lax.sort(
+                    (done_key, jnp.arange(cur_q.shape[0], dtype=jnp.int32)),
+                    num_keys=2)
+                sel = perm[:nb]
+                cur_q = cur_q[sel]
+                cur_qs = cur_qs[sel]
+                cur_state = SearchState(*(leaf[sel] for leaf in cur_state))
+                orig = orig[sel]
+    return full, compact_ovf
+
+
 def _retire(final: dict, orig_ids: np.ndarray, state: SearchState,
             rows: np.ndarray) -> None:
     """Copy finished rows of the (possibly compacted) device state to host."""
@@ -258,8 +323,94 @@ def _retire(final: dict, orig_ids: np.ndarray, state: SearchState,
                           n_cands[ri])
 
 
+def _radius_schedule(scfg: SearchConfig, cfg: MIHConfig, n: int):
+    """Shared schedule: coalesced (exact) or per-radius groups, cut at the
+    enumeration-vs-scan crossover."""
+    max_r = min(scfg.max_enum_radius, cfg.s_bits)
+    if scfg.coalesce_radii and not scfg.approximate and max_r >= 1:
+        schedule = [(1, (0, 1))] + [(r, (r,)) for r in range(2, max_r + 1)]
+    else:
+        schedule = [(r, (r,)) for r in range(max_r + 1)]
+    out = []
+    for r, group in schedule:
+        n_group = sum(enumeration.n_masks(cfg.s_bits, g) for g in group)
+        if (r > 1 and n_group * cfg.n_tables
+                > scfg.fallback_ratio * max(n, 1)):
+            break
+        out.append((r, group))
+    return tuple(out)
+
+
+def _mih_search_fused(index: MIHIndex, queries, queries0, q_subs, tables,
+                      state0: SearchState, scfg: SearchConfig,
+                      _cap: Optional[int]) -> Optional[SearchResult]:
+    """Single-dispatch fused search; returns None if a stage budget was
+    exceeded (caller falls back to the adaptive loop)."""
+    cfg = index.cfg
+    nq = queries.shape[0]
+    k, pool_size = scfg.knn, scfg.pool_size
+    schedule = _radius_schedule(scfg, cfg, index.n)
+    caps = tuple(_cap or _cap_for_radius(scfg, cfg, index.n, g, pool_size)
+                 for _, g in schedule)
+    batch_caps = tuple(
+        nq if i == 0 else max(64, nq >> (3 + 2 * (i - 1)))
+        for i in range(len(schedule)))
+    masks_tuple = tuple(
+        jnp.asarray(np.concatenate(
+            [enumeration.flip_masks(cfg.s_bits, g) for g in group]))
+        for _, group in schedule)
+
+    full, covf = fused_pipeline(
+        tables, index.codes, queries, q_subs, masks_tuple, state0,
+        schedule=schedule, caps=caps, batch_caps=batch_caps,
+        n_tables=cfg.n_tables, knn=k, pool_size=pool_size,
+        approximate=scfg.approximate, use_bitmap=scfg.use_bitmap,
+        s_bits=cfg.s_bits)
+    host, covf = jax.device_get((tuple(full), covf))  # the single sync
+    if bool(covf):
+        return None
+    (pd, pi, done, radius, overflow, n_probes, n_nonempty, n_cands) = host
+    dists = pd[:, :k].copy()
+    ids = pi[:, :k].copy()
+    radius = radius.copy()
+    not_done = ~done
+    return _apply_fallbacks(index, queries0, scfg, _cap, k, dists, ids,
+                            radius, overflow, not_done, n_probes,
+                            n_nonempty, n_cands)
+
+
+def _apply_fallbacks(index, queries0, scfg, _cap, k, dists, ids, radius,
+                     overflow, not_done, n_probes, n_nonempty, n_cands
+                     ) -> SearchResult:
+    """Overflow retry + brute-force fallback, shared by both drivers."""
+    redo = overflow & ~not_done
+    base_cap = _cap or scfg.candidate_cap
+    if redo.any() and base_cap < index.n:
+        idxs = np.nonzero(redo)[0]
+        sub = mih_search(index, queries0[idxs], scfg,
+                         _cap=min(base_cap * 4, max(index.n, 8)))
+        dists[idxs] = sub.dists
+        ids[idxs] = sub.ids
+        radius[idxs] = sub.radius
+
+    if not_done.any():
+        if index.codes is None:
+            raise ValueError(
+                "queries unfinished at max_enum_radius and index has no "
+                "code array for linear fallback; raise max_enum_radius")
+        idxs = np.nonzero(not_done)[0]
+        ld, li = linear_lib.linear_search(queries0[idxs], index.codes, k)
+        dists[idxs] = np.asarray(ld)
+        ids[idxs] = np.asarray(li)
+
+    return SearchResult(dists=dists, ids=ids, radius=radius,
+                        n_probes=n_probes, n_nonempty=n_nonempty,
+                        n_cands=n_cands)
+
+
 def mih_search(index: MIHIndex, queries, scfg: SearchConfig = SearchConfig(),
-               _cap: Optional[int] = None) -> SearchResult:
+               _cap: Optional[int] = None, _fused: bool = True
+               ) -> SearchResult:
     """Batched K-NN over the MIH index.
 
     The host loop advances the radius in lockstep for the whole batch
@@ -278,7 +429,13 @@ def mih_search(index: MIHIndex, queries, scfg: SearchConfig = SearchConfig(),
     q_subs = index.table_subs(queries)
     tables = tuple(index.tables)
     state = init_state(nq, pool_size)
-    max_r = min(scfg.max_enum_radius, cfg.s_bits)
+
+    if scfg.fused and _fused:
+        out = _mih_search_fused(index, queries, queries0, q_subs, tables,
+                                state, scfg, _cap)
+        if out is not None:
+            return out
+        # stage budget exceeded: fall through to the adaptive loop
 
     # Batch compaction: probe cost is paid per batch row whether or not a
     # query is done (data-independent shapes), and C(s, r) grows fast while
@@ -289,20 +446,9 @@ def mih_search(index: MIHIndex, queries, scfg: SearchConfig = SearchConfig(),
     final = {}                        # original row -> host result rows
 
     # radius schedule: exact mode coalesces {0, 1} into one step (results
-    # identical — see SearchConfig.coalesce_radii)
-    if scfg.coalesce_radii and not scfg.approximate and max_r >= 1:
-        schedule = [(1, (0, 1))] + [(r, (r,)) for r in range(2, max_r + 1)]
-    else:
-        schedule = [(r, (r,)) for r in range(max_r + 1)]
-
-    for r, group in schedule:
-        # Enumeration-vs-scan crossover: once probing the radius-r sphere
-        # costs more than brute-forcing the DB, stop enumerating and let the
-        # linear fallback below finish the stragglers exactly.
-        n_group_masks = sum(enumeration.n_masks(cfg.s_bits, g) for g in group)
-        if (r > 1 and n_group_masks * cfg.n_tables
-                > scfg.fallback_ratio * max(index.n, 1)):
-            break
+    # identical — see SearchConfig.coalesce_radii); the schedule is already
+    # cut at the enumeration-vs-scan crossover
+    for r, group in _radius_schedule(scfg, cfg, index.n):
         cap = _cap or _cap_for_radius(scfg, cfg, index.n, group, pool_size)
         masks = jnp.asarray(np.concatenate(
             [enumeration.flip_masks(cfg.s_bits, g) for g in group]))
@@ -348,28 +494,6 @@ def mih_search(index: MIHIndex, queries, scfg: SearchConfig = SearchConfig(),
     dists = dists[:, :k]
     ids = ids[:, :k]
 
-    # Overflow retry: exactness contract (SURVEY.md §7 hard part (e)).
-    redo = overflow & ~not_done
-    base_cap = _cap or scfg.candidate_cap
-    if redo.any() and base_cap < index.n:
-        idxs = np.nonzero(redo)[0]
-        sub = mih_search(index, queries0[idxs], scfg,
-                         _cap=min(base_cap * 4, max(index.n, 8)))
-        dists[idxs] = sub.dists
-        ids[idxs] = sub.ids
-        radius[idxs] = sub.radius
-
-    # Max-radius fallback: brute-force the stragglers.
-    if not_done.any():
-        if index.codes is None:
-            raise ValueError(
-                "queries unfinished at max_enum_radius and index has no "
-                "code array for linear fallback; raise max_enum_radius")
-        idxs = np.nonzero(not_done)[0]
-        ld, li = linear_lib.linear_search(queries0[idxs], index.codes, k)
-        dists[idxs] = np.asarray(ld)
-        ids[idxs] = np.asarray(li)
-
-    return SearchResult(dists=dists, ids=ids, radius=radius,
-                        n_probes=n_probes, n_nonempty=n_nonempty,
-                        n_cands=n_cands)
+    return _apply_fallbacks(index, queries0, scfg, _cap, k, dists, ids,
+                            radius, overflow, not_done, n_probes,
+                            n_nonempty, n_cands)
