@@ -148,3 +148,31 @@ def test_oplog_replay(tmp_path):
     assert fresh.get(b"a") == b"updated"
     assert fresh.get(b"b") is None
     assert fresh.get(b"c") == bytes(range(256))
+
+
+def test_client_reconnects_after_server_restart():
+    """Failure-recovery parity: the client retries through a server bounce
+    (the reference's reconnect/epoch protocol, store-client.cc:607-679)."""
+    from verticut_tpu.service import ImageSearchClient, ImageSearchServer
+    rng = np.random.default_rng(8)
+    packed = codes.pack_bytes(
+        rng.integers(0, 256, size=(100, 16), dtype=np.uint8))
+    idx = build_index(packed, MIHConfig())
+    srv = ImageSearchServer(idx, port=0).start()
+    port = srv.port
+    cli = ImageSearchClient(port=port, pool=1)
+    assert cli.ping() == "pong"
+    assert cli.stats()["epoch"] == 1
+    srv.stop()
+    srv2 = ImageSearchServer(idx, port=port)
+    srv2.epoch = srv.epoch  # same logical server instance, bounced
+    srv2.start()
+    try:
+        # pooled socket is dead; call() must reconnect and retry
+        assert cli.ping() == "pong"
+        assert cli.stats()["epoch"] == 2
+        r = cli.search_image_by_id(3, 2)
+        assert r[0][0] == 3
+    finally:
+        cli.close()
+        srv2.stop()

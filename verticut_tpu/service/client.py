@@ -46,7 +46,18 @@ class ImageSearchClient:
     def _release(self, s: socket.socket):
         self._pool.put(s)
 
-    def call(self, method: str, *params):
+    def call(self, method: str, *params, _retries: int = 1):
+        """One RPC round trip; transparently reconnects and retries once on
+        a transport failure (the reference client's reconnect-and-restart
+        loop, ``Pilaf/store-client.cc:607-679`` / epoch-bump restart)."""
+        try:
+            return self._call_once(method, params)
+        except (ConnectionError, OSError, socket.timeout):
+            if _retries <= 0:
+                raise
+            return self.call(method, *params, _retries=_retries - 1)
+
+    def _call_once(self, method: str, params):
         msgid = next(self._msgid)
         payload = msgpack.packb([0, msgid, method, list(params)],
                                 use_bin_type=True)

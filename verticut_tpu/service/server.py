@@ -40,13 +40,19 @@ class _Handler(socketserver.BaseRequestHandler):
     def handle(self):
         unpacker = msgpack.Unpacker(raw=False)
         sock = self.request
-        while True:
-            data = sock.recv(1 << 16)
-            if not data:
-                return
-            unpacker.feed(data)
-            for msg in unpacker:
-                self._dispatch(sock, msg)
+        self.server.owner._conns.add(sock)
+        try:
+            while True:
+                data = sock.recv(1 << 16)
+                if not data:
+                    return
+                unpacker.feed(data)
+                for msg in unpacker:
+                    self._dispatch(sock, msg)
+        except OSError:
+            return  # connection force-closed by stop()
+        finally:
+            self.server.owner._conns.discard(sock)
 
     def _dispatch(self, sock, msg):
         srv: "ImageSearchServer" = self.server.owner
@@ -83,6 +89,10 @@ class ImageSearchServer:
         self._thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()  # device work serialized
         self.n_requests = 0
+        # incremented on every (re)start — the Pilaf per-server epoch analog
+        # (store-client.cc:146-147): clients detect a bounced server
+        self.epoch = 0
+        self._conns: set = set()
 
     # -- dispatch (the image_search_server.cc:22-48 analog) ------------------
 
@@ -92,7 +102,7 @@ class ImageSearchServer:
         if method == "stats":
             from verticut_tpu.utils.timer import timings
             return {"n_requests": self.n_requests, "n_codes": self.index.n,
-                    "timings": timings()}
+                    "epoch": self.epoch, "timings": timings()}
         if method == "search_image_by_id":
             image_id, knn, approx = (list(params) + [self.default_knn, False]
                                      )[:3]
@@ -140,6 +150,7 @@ class ImageSearchServer:
     # -- lifecycle -----------------------------------------------------------
 
     def start(self):
+        self.epoch += 1
         self._thread = threading.Thread(target=self._srv.serve_forever,
                                         daemon=True)
         self._thread.start()
@@ -149,5 +160,13 @@ class ImageSearchServer:
     def stop(self):
         self._srv.shutdown()
         self._srv.server_close()
+        # proactively disconnect live clients so they reconnect and observe
+        # the new epoch (the reference's resize-protocol behavior,
+        # store-server.cc:97-146: disconnect all, clients retry)
+        for s in list(self._conns):
+            try:
+                s.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
         if self._thread:
             self._thread.join(timeout=5)
