@@ -83,3 +83,26 @@ def test_hash_directory_tiny_and_dense_keys():
     s, c = hd.lookup(jnp.asarray(np.asarray([0, 1], np.uint32)))
     assert np.asarray(c).tolist() == [64, 0]
     assert int(np.asarray(s)[0]) == 0
+
+
+def test_hashdir_on_xor_family_keys():
+    """Regression: MIH substring families (center ^ few bit flips) wedge a
+    linear multiply-shift cuckoo hash (identical slot deltas densify the
+    cuckoo graph). The avalanche mixer must build at the normal load factor
+    without table growth."""
+    from verticut_tpu import native
+    rng = np.random.default_rng(0)
+    centers = rng.integers(0, 1 << 32, 2000, dtype=np.uint32)
+    flips = np.uint32(1) << rng.integers(0, 32, (2000, 40)).astype(np.uint32)
+    keys = np.sort((centers[:, None] ^ flips).reshape(-1))
+    uniq = int((keys[1:] != keys[:-1]).sum()) + 1
+    rows = dir_lib.build_hash(jnp.asarray(keys))
+    expect_slots = 1 << max(3, int(np.ceil(np.log2(uniq / 0.4))))
+    assert rows.rows.shape[0] == expect_slots, (rows.rows.shape, expect_slots)
+    # and lookups still exact
+    probe = keys[rng.integers(0, len(keys), 500)]
+    s, c = rows.lookup(jnp.asarray(probe))
+    el = np.searchsorted(keys, probe, side="left")
+    ec = np.searchsorted(keys, probe, side="right") - el
+    assert np.array_equal(np.asarray(c), ec)
+    assert np.array_equal(np.asarray(s), el)

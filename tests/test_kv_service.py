@@ -176,3 +176,40 @@ def test_client_reconnects_after_server_restart():
     finally:
         cli.close()
         srv2.stop()
+
+
+def test_vecs_io_roundtrip(tmp_path):
+    from verticut_tpu.utils.io import read_vecs, write_vecs
+    rng = np.random.default_rng(1)
+    for kind, arr in [("bvecs", rng.integers(0, 256, (50, 128)).astype(np.uint8)),
+                      ("fvecs", rng.normal(size=(20, 96)).astype(np.float32)),
+                      ("ivecs", rng.integers(0, 10**6, (10, 100)).astype(np.int32))]:
+        p = str(tmp_path / f"x.{kind}")
+        write_vecs(p, arr)
+        back = read_vecs(p)
+        assert np.array_equal(back, arr), kind
+        part = read_vecs(p, max_rows=5, offset_rows=2)
+        assert np.array_equal(part, arr[2:7]), kind
+
+
+def test_replicated_client_failover():
+    from verticut_tpu.service import (ImageSearchServer,
+                                      ReplicatedSearchClient)
+    rng = np.random.default_rng(2)
+    packed = codes.pack_bytes(
+        rng.integers(0, 256, size=(100, 16), dtype=np.uint8))
+    idx = build_index(packed, MIHConfig())
+    s1 = ImageSearchServer(idx, port=0).start()
+    s2 = ImageSearchServer(idx, port=0).start()
+    cli = ReplicatedSearchClient([("127.0.0.1", s1.port),
+                                  ("127.0.0.1", s2.port)], pool=1)
+    try:
+        assert cli.ping() == "pong"
+        s1.stop()  # one replica dies; calls must fail over to s2
+        for i in range(4):
+            r = cli.search_image_by_id(i, 2)
+            assert r[0][0] == i
+        assert s2.n_requests >= 1
+    finally:
+        cli.close()
+        s2.stop()

@@ -88,7 +88,7 @@ def test_overflow_retry_preserves_exactness():
     k = 5
     # tiny cap forces overflow + retry
     res = mih_search(idx, packed[:8],
-                     SearchConfig(fused=False, knn=k, candidate_cap=16, max_enum_radius=8))
+                     SearchConfig(fused=False, knn=k, candidate_cap=16, max_enum_radius=3))
     ld, _ = linear_search(packed[:8], packed, k)
     assert np.array_equal(np.sort(res.dists, -1), np.sort(np.asarray(ld), -1))
 
@@ -114,10 +114,10 @@ def test_bitmap_filter_does_not_change_results():
     raw, packed = make_db(n=300, seed=13)
     cfg = MIHConfig(bits=128, n_tables=16)
     idx = build_index(packed, cfg, with_bitmap=True)
-    scfg = SearchConfig(fused=False, knn=5, max_enum_radius=8, candidate_cap=1024)
+    scfg = SearchConfig(fused=False, knn=5, max_enum_radius=3, candidate_cap=1024)
     r1 = mih_search(idx, packed[:8], scfg)
     r2 = mih_search(idx, packed[:8],
-                    SearchConfig(fused=False, knn=5, max_enum_radius=8, candidate_cap=1024,
+                    SearchConfig(fused=False, knn=5, max_enum_radius=3, candidate_cap=1024,
                                  use_bitmap=True))
     assert np.array_equal(r1.dists, r2.dists)
     assert np.array_equal(r1.ids, r2.ids)
@@ -128,7 +128,7 @@ def test_compact_index_no_inline_codes():
     idx = build_index(packed, MIHConfig(bits=128, n_tables=16),
                       store_codes=False)
     res = mih_search(idx, packed[:5],
-                     SearchConfig(fused=False, knn=5, max_enum_radius=8, candidate_cap=1024,
+                     SearchConfig(fused=False, knn=5, max_enum_radius=3, candidate_cap=1024,
                                   fallback_ratio=1e9))
     ld, _ = linear_search(packed[:5], packed, 5)
     assert np.array_equal(np.sort(res.dists, -1), np.sort(np.asarray(ld), -1))
@@ -151,7 +151,7 @@ def test_stats_counters_populated():
     raw, packed = make_db(n=500, seed=19)
     idx = build_index(packed, MIHConfig(bits=128, n_tables=16))
     res = mih_search(idx, packed[:4],
-                     SearchConfig(fused=False, knn=3, max_enum_radius=8, candidate_cap=2048,
+                     SearchConfig(fused=False, knn=3, max_enum_radius=3, candidate_cap=2048,
                                   fallback_ratio=1e9))
     assert (res.n_probes > 0).all()
     assert (res.n_nonempty >= 1).all()   # own bucket at least

@@ -127,8 +127,18 @@ class PrefixDirectory:
         return left.astype(jnp.int32), (right - left).astype(jnp.int32)
 
 
-# multiply-shift hash constants — MUST match native/src/hashdir.cc
-HASH_MULTS = (0x9E3779B1, 0x85EBCA77)
+# avalanche mixer constants — MUST match native/src/hashdir.cc (a linear
+# multiply-shift hash wedges cuckoo insertion on MIH substring families;
+# see the note there)
+HASH_CONSTS = ((0x85EBCA6B, 0xC2B2AE35), (0x7FEB352D, 0x846CA68B))
+
+
+def _mix(v: jax.Array, ca: int, cb: int) -> jax.Array:
+    v = v ^ (v >> jnp.uint32(16))
+    v = v * jnp.uint32(ca)
+    v = v ^ (v >> jnp.uint32(13))
+    v = v * jnp.uint32(cb)
+    return v ^ (v >> jnp.uint32(16))
 
 
 class HashDirectory(NamedTuple):
@@ -145,10 +155,9 @@ class HashDirectory(NamedTuple):
     rows: jax.Array  # uint32[S, 4]; S power of two; empty slot: count == 0
 
     def lookup(self, vals: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        s = self.rows.shape[0]
-        shift = jnp.uint32(32 - (s.bit_length() - 1))
-        i1 = ((vals * jnp.uint32(HASH_MULTS[0])) >> shift).astype(jnp.int32)
-        i2 = ((vals * jnp.uint32(HASH_MULTS[1])) >> shift).astype(jnp.int32)
+        mask = jnp.uint32(self.rows.shape[0] - 1)
+        i1 = (_mix(vals, *HASH_CONSTS[0]) & mask).astype(jnp.int32)
+        i2 = (_mix(vals, *HASH_CONSTS[1]) & mask).astype(jnp.int32)
         r1 = self.rows[i1]                 # [..., 4]
         r2 = self.rows[i2]
         hit1 = (r1[..., 0] == vals) & (r1[..., 2] > 0)

@@ -16,13 +16,30 @@
 
 namespace {
 
-// multiply-shift hash constants (odd, high-entropy); the TPU lookup code
-// must use the same values — see index/directory.py::HASH_MULTS.
-constexpr uint32_t kMul1 = 0x9E3779B1u;  // golden-ratio odd constant
-constexpr uint32_t kMul2 = 0x85EBCA77u;  // (murmur3 c2 constant, odd)
+// Avalanche mixers (murmur3-finalizer shape). A plain multiply-shift hash
+// is linear: keys that differ by the same XOR delta land in slots that
+// differ by the same delta, and MIH substrings are exactly such families
+// (cluster center ^ few bit flips) — dense enough to wedge cuckoo
+// insertion at <30% load. The xorshift stages break the linearity.
+// The TPU lookup evaluates the identical function on the VPU —
+// see index/directory.py::_mix (constants must match).
+constexpr uint32_t kC1a = 0x85EBCA6Bu, kC1b = 0xC2B2AE35u;  // murmur3 fmix
+constexpr uint32_t kC2a = 0x7FEB352Du, kC2b = 0x846CA68Bu;  // lowbias32
 
-inline uint32_t Slot(uint32_t v, uint32_t mul, int shift) {
-  return (v * mul) >> shift;
+inline uint32_t Mix(uint32_t v, uint32_t ca, uint32_t cb) {
+  v ^= v >> 16;
+  v *= ca;
+  v ^= v >> 13;
+  v *= cb;
+  v ^= v >> 16;
+  return v;
+}
+
+inline uint32_t Slot1(uint32_t v, uint64_t mask) {
+  return Mix(v, kC1a, kC1b) & static_cast<uint32_t>(mask);
+}
+inline uint32_t Slot2(uint32_t v, uint64_t mask) {
+  return Mix(v, kC2a, kC2b) & static_cast<uint32_t>(mask);
 }
 
 }  // namespace
@@ -37,7 +54,7 @@ extern "C" {
 int vt_build_hashdir(const uint32_t* sorted_keys, uint64_t n,
                      uint64_t n_slots, uint32_t* table) {
   if (n_slots == 0 || (n_slots & (n_slots - 1)) != 0) return -2;
-  const int shift = 32 - __builtin_ctzll(n_slots);
+  const uint64_t mask = n_slots - 1;
   std::memset(table, 0, n_slots * 4 * sizeof(uint32_t));
   // empty slot: count == 0 (a real row always has count >= 1, and a key
   // match with count 0 reads as a miss, so key=0 in empty slots is safe)
@@ -51,28 +68,30 @@ int vt_build_hashdir(const uint32_t* sorted_keys, uint64_t n,
     uint32_t key = sorted_keys[i];
     uint32_t start = static_cast<uint32_t>(i);
     uint32_t count = static_cast<uint32_t>(j - i);
-    // cuckoo insert with displacement
-    int which = 0;
+    // canonical cuckoo walk: place in an empty way if any; otherwise evict
+    // and move each victim to its *alternate* slot (never back where it
+    // came from — an alternating-eviction policy ping-pongs and fails at
+    // <30% load)
+    uint32_t s1 = Slot1(key, mask);
+    uint32_t s2 = Slot2(key, mask);
+    uint32_t target = (table[4ull * s1 + 2] == 0) ? s1
+                      : (table[4ull * s2 + 2] == 0) ? s2 : s1;
     int kicks = 0;
-    for (;;) {
-      uint32_t s1 = Slot(key, kMul1, shift);
-      uint32_t s2 = Slot(key, kMul2, shift);
-      uint32_t* r1 = table + 4ull * s1;
-      uint32_t* r2 = table + 4ull * s2;
-      if (r1[2] == 0) {
-        r1[0] = key; r1[1] = start; r1[2] = count;
+    bool placed = false;
+    while (!placed) {
+      uint32_t* row = table + 4ull * target;
+      uint32_t vk = row[0], vs = row[1], vc = row[2];
+      bool was_empty = (vc == 0);
+      row[0] = key; row[1] = start; row[2] = count;
+      if (was_empty) {
+        placed = true;
         break;
       }
-      if (r2[2] == 0) {
-        r2[0] = key; r2[1] = start; r2[2] = count;
-        break;
-      }
-      if (++kicks > kMaxKicks) return -1;
-      // evict from alternating choices
-      uint32_t* victim = (which ^= 1) ? r1 : r2;
-      uint32_t vk = victim[0], vs = victim[1], vc = victim[2];
-      victim[0] = key; victim[1] = start; victim[2] = count;
+      // victim moves to its alternate slot
+      uint32_t v1 = Slot1(vk, mask);
+      target = (v1 == target) ? Slot2(vk, mask) : v1;
       key = vk; start = vs; count = vc;
+      if (++kicks > kMaxKicks) return -1;
     }
     i = j;
   }

@@ -1,2 +1,2 @@
 from verticut_tpu.service.server import ImageSearchServer  # noqa: F401
-from verticut_tpu.service.client import ImageSearchClient  # noqa: F401
+from verticut_tpu.service.client import ImageSearchClient, ReplicatedSearchClient  # noqa: F401

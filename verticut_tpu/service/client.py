@@ -38,9 +38,16 @@ class ImageSearchClient:
             return self._pool.get_nowait()
         except queue.Empty:
             with self._lock:
-                if self._created < self._pool_size:
+                grow = self._created < self._pool_size
+                if grow:
                     self._created += 1
+            if grow:
+                try:
                     return self._connect()
+                except Exception:
+                    with self._lock:
+                        self._created -= 1  # slot leaks would deadlock later
+                    raise
             return self._pool.get(timeout=self.timeout)
 
     def _release(self, s: socket.socket):
@@ -114,3 +121,49 @@ class ImageSearchClient:
                 self._pool.get_nowait().close()
             except queue.Empty:
                 break
+
+
+class ReplicatedSearchClient:
+    """Request fan-out over serving replicas — the front-end's
+    pick-a-random-worker dispatch (``src/image_search_server.cc:58-83``)
+    lifted into the client, with failover to the next replica.
+
+    Each replica is a full mesh owning the whole index; replicas scale
+    request throughput over DCN (the 4th parallelism axis of SURVEY.md §2).
+    """
+
+    def __init__(self, addrs, timeout: float = DEFAULT_TIMEOUT_S,
+                 pool: int = POOL_SIZE, seed: int = 0):
+        import random
+        if not addrs:
+            raise ValueError("need at least one replica address")
+        self._rng = random.Random(seed)
+        self.clients = [ImageSearchClient(h, p, timeout, pool)
+                        for h, p in addrs]
+
+    def call(self, method: str, *params):
+        order = list(range(len(self.clients)))
+        self._rng.shuffle(order)
+        last = None
+        for i in order:
+            try:
+                return self.clients[i].call(method, *params)
+            except Exception as e:  # noqa: BLE001 — failover
+                last = e
+        raise last
+
+    def ping(self):
+        return self.call("ping")
+
+    def search_image_by_id(self, image_id, knn=10, approximate=False):
+        return self.call("search_image_by_id", image_id, knn, approximate)
+
+    def search_by_code(self, code, knn=10, approximate=False):
+        return self.call("search_by_code", code, knn, approximate)
+
+    def search_batch(self, blob, knn=10, approximate=False):
+        return self.call("search_batch", blob, knn, approximate)
+
+    def close(self):
+        for c in self.clients:
+            c.close()
