@@ -34,7 +34,7 @@ def main():
     from verticut_tpu.search import mih_search
 
     n = int(os.environ.get("VERTICUT_BENCH_N", 1_000_000))
-    q_batch = int(os.environ.get("VERTICUT_BENCH_Q", 2048))
+    q_batch = int(os.environ.get("VERTICUT_BENCH_Q", 8192))
     k = int(os.environ.get("VERTICUT_BENCH_K", 10))
     cfg = MIHConfig(bits=128, n_tables=4)
     scfg = SearchConfig(knn=k, candidate_cap=8192, max_enum_radius=5)

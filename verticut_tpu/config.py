@@ -97,12 +97,18 @@ class SearchConfig:
     # compaction (single host sync). Falls back automatically to the
     # adaptive per-radius loop if the active set outgrows a stage budget.
     fused: bool = True
+    # Largest per-group mask count admitted into the fused program; later
+    # radii (C(32,4)=36k, C(32,5)=201k masks) blow compile-time HBM for
+    # their intermediates and cover a vanishing fraction of queries — the
+    # stragglers take the exact brute-force fallback instead.
+    fused_max_masks: int = 8192
     # Switch to the brute-force scan once enumerating the next radius costs
     # more probes than scanning the whole DB costs distance evaluations
     # (n_masks(s,r)*m > fallback_ratio*N). The reference has no such
     # crossover because its per-bucket cost is an RDMA round-trip, not
-    # compute; on TPU the scan is a dense MXU GEMM and wins early.
-    fallback_ratio: float = 4.0
+    # compute; on TPU a directory probe (2 random 16 B gathers) costs
+    # several times a scanned code (16 B sequential + MXU), hence < 1.
+    fallback_ratio: float = 0.5
 
     @property
     def pool_size(self) -> int:

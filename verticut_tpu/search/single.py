@@ -349,7 +349,12 @@ def _mih_search_fused(index: MIHIndex, queries, queries0, q_subs, tables,
     cfg = index.cfg
     nq = queries.shape[0]
     k, pool_size = scfg.knn, scfg.pool_size
-    schedule = _radius_schedule(scfg, cfg, index.n)
+    schedule = tuple(
+        (r, g) for r, g in _radius_schedule(scfg, cfg, index.n)
+        if sum(enumeration.n_masks(cfg.s_bits, x) for x in g)
+        <= scfg.fused_max_masks)
+    if not schedule:
+        return None
     caps = tuple(_cap or _cap_for_radius(scfg, cfg, index.n, g, pool_size)
                  for _, g in schedule)
     batch_caps = tuple(
@@ -452,11 +457,28 @@ def mih_search(index: MIHIndex, queries, scfg: SearchConfig = SearchConfig(),
         cap = _cap or _cap_for_radius(scfg, cfg, index.n, group, pool_size)
         masks = jnp.asarray(np.concatenate(
             [enumeration.flip_masks(cfg.s_bits, g) for g in group]))
-        state = radius_step(
-            tables, index.codes, queries, q_subs, masks, state,
+        step_kw = dict(
             radius=r, n_tables=cfg.n_tables, knn=k, pool_size=pool_size,
             cap=cap, approximate=scfg.approximate,
             use_bitmap=scfg.use_bitmap, s_bits=cfg.s_bits)
+        nq_cur = queries.shape[0]
+        # memory guard: the probe tensor is [Q, C] x m tables; late radii
+        # (C(32,5)=201k) at full batch would allocate several GB — process
+        # the batch in slices instead
+        if nq_cur * masks.shape[0] > (1 << 26) and nq_cur > 64:
+            sl = max(64, _pow2ceil((1 << 26) // max(masks.shape[0], 1)) // 2)
+            parts = []
+            for lo in range(0, nq_cur, sl):
+                hi = min(lo + sl, nq_cur)
+                sub = SearchState(*(leaf[lo:hi] for leaf in state))
+                parts.append(radius_step(
+                    tables, index.codes, queries[lo:hi], q_subs[lo:hi],
+                    masks, sub, **step_kw))
+            state = SearchState(*(jnp.concatenate(leaves)
+                                  for leaves in zip(*parts)))
+        else:
+            state = radius_step(tables, index.codes, queries, q_subs, masks,
+                                state, **step_kw)
         done_h = np.asarray(state.done)
         if done_h.all():
             break
