@@ -104,3 +104,16 @@ def test_sharded_approx_mode():
         jnp.asarray(packed[:8])[:, None, :]))
     valid = res.ids >= 0
     assert np.array_equal(d_check[valid], res.dists[valid])
+
+
+def test_sharded_full_3d_mesh_unbalanced():
+    """All three axes active at once on the 8-device mesh, with a code
+    count that doesn't divide the shard axis (padding path)."""
+    cfg = MIHConfig(bits=64, n_tables=2)
+    packed = make_db(401, seed=9, bits=64)  # non-divisible: padding path
+    mesh = make_mesh(2, 2, 2)
+    idx = build_sharded_index(packed, cfg, mesh)
+    res = sharded_mih_search(idx, np.asarray(packed[:8]),
+                             SearchConfig(knn=6, candidate_cap=512))
+    ld, _ = linear_search(packed[:8], packed, 6)
+    assert np.array_equal(np.sort(res.dists, -1), np.sort(np.asarray(ld), -1))
