@@ -213,3 +213,34 @@ def test_replicated_client_failover():
     finally:
         cli.close()
         s2.stop()
+
+
+def test_server_microbatching_coalesces():
+    """Concurrent same-(k, approx) requests must share device launches."""
+    from verticut_tpu.service import ImageSearchClient, ImageSearchServer
+    rng = np.random.default_rng(9)
+    packed = codes.pack_bytes(
+        rng.integers(0, 256, size=(400, 16), dtype=np.uint8))
+    idx = build_index(packed, MIHConfig())
+    srv = ImageSearchServer(idx, port=0).start()
+    try:
+        cli = ImageSearchClient(port=srv.port, pool=16)
+        cli.search_image_by_id(0, 3)  # warm compile
+        errs, results = [], {}
+        def worker(i):
+            try:
+                results[i] = cli.search_image_by_id(i, 3)
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+        ts = [threading.Thread(target=worker, args=(i,)) for i in range(16)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert not errs
+        for i in range(16):
+            assert results[i][0][0] == i and results[i][0][1] == 0
+        st = cli.stats()
+        assert st["n_requests"] == 17
+        assert st["n_batches"] < 17, st  # at least some coalescing happened
+        cli.close()
+    finally:
+        srv.stop()

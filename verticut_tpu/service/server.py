@@ -89,10 +89,14 @@ class ImageSearchServer:
         self._thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()  # device work serialized
         self.n_requests = 0
+        self.n_batches = 0
         # incremented on every (re)start — the Pilaf per-server epoch analog
         # (store-client.cc:146-147): clients detect a bounced server
         self.epoch = 0
         self._conns: set = set()
+        # micro-batching state: (knn, approx) -> [(slot, event), ...]
+        self._pending: dict = {}
+        self._q_lock = threading.Lock()
 
     # -- dispatch (the image_search_server.cc:22-48 analog) ------------------
 
@@ -101,7 +105,8 @@ class ImageSearchServer:
             return "pong"
         if method == "stats":
             from verticut_tpu.utils.timer import timings
-            return {"n_requests": self.n_requests, "n_codes": self.index.n,
+            return {"n_requests": self.n_requests,
+                    "n_batches": self.n_batches, "n_codes": self.index.n,
                     "epoch": self.epoch, "timings": timings()}
         if method == "search_image_by_id":
             image_id, knn, approx = (list(params) + [self.default_knn, False]
@@ -124,28 +129,68 @@ class ImageSearchServer:
         raise ValueError(f"unknown method {method!r}")
 
     def _search(self, queries: np.ndarray, knn: int, approx: bool):
+        """Micro-batching: concurrent requests with the same (knn, approx)
+        coalesce into one device launch. The reference fans every query out
+        as its own mpirun job (``image_search_server.cc:58-83``); a batched
+        engine inverts that — request-level parallelism becomes batch rows.
+        """
+        evt = threading.Event()
+        slot = [queries, None]          # [input rows, output rows]
+        key = (int(knn), bool(approx))
+        with self._q_lock:
+            self._pending.setdefault(key, []).append((slot, evt))
+        self._run_or_wait(key, evt)
+        return slot[1]
+
+    def _run_or_wait(self, key, evt):
+        # One thread at a time is the batch leader (device work serialized);
+        # everyone else polls until their event is set. A request enqueued
+        # just after the leader's pop is picked up either by the leader's
+        # next drain iteration or by the requester itself once the lock
+        # frees — no unbounded waits.
+        while not evt.is_set():
+            if self._lock.acquire(blocking=False):
+                try:
+                    while not evt.is_set():
+                        with self._q_lock:
+                            batch = self._pending.pop(key, [])
+                        if not batch:
+                            break  # our slot is being served by another leader
+                        self._execute(key, batch)
+                finally:
+                    self._lock.release()
+            else:
+                evt.wait(timeout=0.05)
+
+    def _execute(self, key, batch):
         from verticut_tpu.search import mih_search
+        knn, approx = key
         scfg = SearchConfig(knn=knn, approximate=approx)
+        qs = [slot[0] for slot, _ in batch]
+        sizes = [q.shape[0] for q in qs]
+        queries = np.concatenate(qs)
         nq = queries.shape[0]
-        # pad the batch to a power of two so repeat request sizes hit the
-        # compile cache (every distinct shape is a fresh XLA program)
+        self.n_requests += nq
+        self.n_batches += 1
+        # pad to a power of two so repeat sizes hit the compile cache
         n_pad = max(8, 1 << (nq - 1).bit_length()) - nq
         if n_pad:
             queries = np.concatenate(
                 [queries, np.repeat(queries[:1], n_pad, axis=0)])
-        with self._lock:
-            self.n_requests += nq
-            if self.sharded:
-                from verticut_tpu.search.sharded import sharded_mih_search
-                res = sharded_mih_search(self.index, queries, scfg)
-            else:
-                res = mih_search(self.index, queries, scfg)
-        out = []
-        for qi in range(nq):
-            row = [[int(i), int(d)] for i, d in
-                   zip(res.ids[qi], res.dists[qi]) if i >= 0]
-            out.append(row)
-        return out
+        if self.sharded:
+            from verticut_tpu.search.sharded import sharded_mih_search
+            res = sharded_mih_search(self.index, queries, scfg)
+        else:
+            res = mih_search(self.index, queries, scfg)
+        lo = 0
+        for (slot, evt), sz in zip(batch, sizes):
+            rows = []
+            for qi in range(lo, lo + sz):
+                rows.append([[int(i), int(d)] for i, d in
+                             zip(res.ids[qi], res.dists[qi]) if i >= 0])
+            slot[1] = rows
+            evt.set()
+            lo += sz
 
     # -- lifecycle -----------------------------------------------------------
 
