@@ -61,8 +61,9 @@ def test_streaming_kv_build_matches_sorted_build():
         for t in range(4):
             bs.append(t, int(subs[img_id, t]), img_id, raw[img_id].tobytes())
 
-    # sorted build
-    idx = build_index(packed, cfg)
+    # sorted build (bucket-exact directory: the range directory has no
+    # per-bucket lookup — bucket-order parity is covered on hash/dense)
+    idx = build_index(packed, cfg, directory="hash")
     for t in range(4):
         starts, counts = idx.tables[t].directory.lookup(
             np.asarray(subs[:, t]))

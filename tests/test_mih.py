@@ -37,10 +37,18 @@ def test_integrity_every_code_in_own_bucket(n_tables):
     idx = build_index(packed, cfg)
     subs = np.asarray(idx.table_subs(jnp.asarray(packed)))
     for t, tab in enumerate(idx.tables):
+        # RangeDirectory.lookup returns the containing prefix range — a
+        # superset of the exact bucket; membership still must hold.
         starts, counts = tab.directory.lookup(jnp.asarray(subs[:, t]))
         starts, counts = np.asarray(starts), np.asarray(counts)
         entry_ids = np.asarray(tab.entry_ids)
-        entry_codes = np.asarray(tab.entry_codes)
+        if tab.entry_codes is not None:
+            entry_codes = np.asarray(tab.entry_codes)
+        else:  # blocked word-major rows (range engine)
+            from verticut_tpu.index.mih import unblock_entry_rows
+            w = np.asarray(packed).shape[-1]
+            _, entry_codes = unblock_entry_rows(tab.entry_rows, w)
+            entry_codes = entry_codes[:len(entry_ids)]
         for i in range(len(raw)):
             bucket_ids = entry_ids[starts[i]:starts[i] + counts[i]]
             assert i in bucket_ids, (t, i)

@@ -15,33 +15,72 @@ from verticut_tpu import native
 from verticut_tpu.config import MIHConfig
 from verticut_tpu.index import directory as dir_lib
 from verticut_tpu.index.bitmap import Bitmap
-from verticut_tpu.index.mih import MIHIndex, MIHTable
+from verticut_tpu.index.mih import (ENTRY_ROW_ALIGN, MIHIndex, MIHTable,
+                                    _row_width)
+
+
+def _host_range_dir(keys: np.ndarray, s_bits: int) -> dir_lib.RangeDirectory:
+    """Range directory from the sorted host key column: a bincount over
+    prefixes + prefix-sum (no per-key search)."""
+    pbits = dir_lib.pick_range_pbits(len(keys), s_bits)
+    shift = s_bits - pbits
+    cnt = np.bincount((keys >> np.uint32(shift)).astype(np.int64),
+                      minlength=1 << pbits)
+    offs = np.zeros((1 << pbits) + 1, np.int64)
+    np.cumsum(cnt, out=offs[1:])
+    se = np.stack([offs[:-1], offs[1:]], axis=-1).astype(np.int32)
+    return dir_lib.RangeDirectory(se=jnp.asarray(se), s_bits=s_bits)
+
+
+def _host_entry_rows(ids: np.ndarray, codes_arr: np.ndarray) -> np.ndarray:
+    """Blocked word-major (id, code) rows on host (mih.MIHTable.entry_rows)."""
+    n, w = len(ids), codes_arr.shape[-1]
+    rw = _row_width(w)
+    blk = 128 // rw
+    npad = -(-max(n, 1) // ENTRY_ROW_ALIGN) * ENTRY_ROW_ALIGN
+    rows = np.zeros((npad, rw), np.uint32)
+    rows[n:, 0] = 0xFFFFFFFF
+    rows[:n, 0] = ids.astype(np.uint32)
+    rows[:n, 1:1 + w] = native.gather_rows(codes_arr, ids)
+    return np.ascontiguousarray(
+        rows.reshape(npad // blk, blk, rw).transpose(0, 2, 1)
+    ).reshape(npad // blk, blk * rw)
 
 
 def build_index_native(codes_arr: np.ndarray, cfg: MIHConfig = MIHConfig(),
                        dense_threshold: int = 24, store_codes: bool = True,
-                       with_bitmap: bool = False, keep_codes: bool = True
-                       ) -> MIHIndex:
+                       with_bitmap: bool = False, keep_codes: bool = True,
+                       directory: str = "auto") -> MIHIndex:
     codes_arr = np.ascontiguousarray(codes_arr, np.uint32)
     n = codes_arr.shape[0]
     if codes_arr.shape[-1] != cfg.n_words:
         raise ValueError(
             f"codes have {codes_arr.shape[-1]} words, config wants "
             f"{cfg.n_words}")
+    if directory == "auto":
+        directory = "dense" if cfg.s_bits <= dense_threshold else "range"
     tables = []
     for t in range(cfg.n_tables):
         keys, ids = native.build_csr(codes_arr, t, cfg.s_bits)
-        entry_codes = (jnp.asarray(native.gather_rows(codes_arr, ids))
-                       if store_codes else None)
-        if cfg.s_bits <= dense_threshold:
+        entry_codes = entry_rows = None
+        if directory == "dense":
             d = dir_lib.build_dense(jnp.asarray(keys), cfg.s_bits)
-        else:  # cuckoo rows built directly from the host key column
+        elif directory == "range":
+            d = _host_range_dir(keys, cfg.s_bits)
+        elif directory == "hash":  # cuckoo rows from the host key column
             d = dir_lib.HashDirectory(
                 rows=jnp.asarray(native.build_hashdir(keys)))
+        else:
+            raise ValueError(f"unknown directory kind {directory!r}")
+        if store_codes:
+            if directory == "range":
+                entry_rows = jnp.asarray(_host_entry_rows(ids, codes_arr))
+            else:
+                entry_codes = jnp.asarray(native.gather_rows(codes_arr, ids))
         bmp = (Bitmap(words=jnp.asarray(native.build_bitmap(keys, cfg.s_bits)))
                if with_bitmap else None)
         tables.append(MIHTable(entry_ids=jnp.asarray(ids),
                                entry_codes=entry_codes, directory=d,
-                               bitmap=bmp))
+                               bitmap=bmp, entry_rows=entry_rows))
     return MIHIndex(cfg=cfg, tables=tables, n=n,
                     codes=jnp.asarray(codes_arr) if keep_codes else None)

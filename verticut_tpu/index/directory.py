@@ -175,8 +175,86 @@ def build_hash(sorted_subs, n_slots: int = 0) -> HashDirectory:
     return HashDirectory(rows=jnp.asarray(table))
 
 
+@jax.tree_util.register_pytree_node_class
+class RangeDirectory:
+    """Prefix-*range* directory: dense (start, end) pairs over the top
+    ``pbits`` of the substring value, describing contiguous runs of the
+    substring-sorted entry rows.
+
+    This is the TPU-native replacement for per-bucket probing in the hot
+    loop: one 8 B gather per *prefix* returns the row range holding every
+    key that shares the prefix, so a single probe covers all flip masks in
+    the low ``s_bits - pbits`` bits at once, and radius-r enumeration
+    shrinks from C(s_bits, r) bucket probes to C(pbits, r) range probes.
+    Rows in a range whose keys are NOT in any probed bucket are fetched
+    anyway and scored with their true full-code distance — a superset of
+    the bucket-exact candidate set, which preserves MIH exactness (the
+    stop rule only needs every key within the current radius examined;
+    extra examined keys cannot hurt). The reference pays one RDMA per
+    bucket (``src/search_worker.cc:230-264``); here bandwidth is cheap and
+    per-gather-row latency is the budget, so we trade volume for rows.
+    """
+
+    def __init__(self, se: jax.Array, s_bits: int):
+        self.se = se          # int32[2^pbits, 2]: (start, end) per prefix
+        self.s_bits = s_bits  # substring width the prefixes were cut from
+
+    def tree_flatten(self):
+        return ((self.se,), (self.s_bits,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0])
+
+    @property
+    def pbits(self) -> int:
+        return (self.se.shape[0]).bit_length() - 1
+
+    @property
+    def shift(self) -> int:
+        return self.s_bits - self.pbits
+
+    def range_lookup(self, prefixes: jax.Array
+                     ) -> Tuple[jax.Array, jax.Array]:
+        """``uint32[...] -> (start int32[...], count int32[...])`` — the
+        contiguous sorted-row range of each probed prefix; one gather."""
+        p = self.se[prefixes.astype(jnp.int32)]
+        return p[..., 0], p[..., 1] - p[..., 0]
+
+    def lookup(self, vals: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """SUPERSET lookup: the row range of the value's whole prefix.
+
+        Contains the exact bucket of ``vals`` but usually more (every key
+        sharing the top ``pbits``). Sufficient for membership/integrity
+        checks; callers needing bucket-exact ranges must use a
+        Dense/Sorted/Prefix/Hash directory.
+        """
+        return self.range_lookup(vals >> jnp.uint32(self.shift))
+
+
+def pick_range_pbits(n: int, s_bits: int, blk: int = 16) -> int:
+    """Prefix width targeting ~blk/2 expected rows per range (so most
+    ranges fit one fetch block), clamped to keep ``se`` ≤ 128 MB."""
+    target = max(1, blk // 2)
+    p = max(1, (max(n, 2) - 1).bit_length() - (target - 1).bit_length())
+    return max(4, min(24, s_bits, p))
+
+
+def build_range(sorted_subs: jax.Array, s_bits: int,
+                pbits: Optional[int] = None, blk: int = 16
+                ) -> RangeDirectory:
+    n = sorted_subs.shape[0]
+    pbits = pbits or pick_range_pbits(n, s_bits, blk)
+    shift = s_bits - pbits
+    prefixes = (sorted_subs >> jnp.uint32(shift)).astype(jnp.uint32)
+    grid = jnp.arange((1 << pbits) + 1, dtype=jnp.int32).astype(jnp.uint32)
+    offs = jnp.searchsorted(prefixes, grid, side="left").astype(jnp.int32)
+    return RangeDirectory(se=jnp.stack([offs[:-1], offs[1:]], axis=-1),
+                          s_bits=s_bits)
+
+
 Directory = Union[DenseDirectory, SortedDirectory, PrefixDirectory,
-                  HashDirectory]
+                  HashDirectory, RangeDirectory]
 
 
 def build_dense(sorted_subs: jax.Array, s_bits: int) -> DenseDirectory:

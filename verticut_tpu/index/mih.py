@@ -37,10 +37,59 @@ class MIHTable(NamedTuple):
     entry_codes: Optional[jax.Array]  # uint32[N, W] full codes, or None
     directory: dir_lib.Directory
     bitmap: Optional[Bitmap]
+    # Blocked (id, code) entry rows for the block-fetch engine:
+    # uint32[NB, 128], one row = one BLK-entry block stored word-major
+    # (lane w*BLK + r = word w of block entry r; word 0 = id, words
+    # 1..W = code, rest zero pad; pad entries carry id 0xFFFFFFFF).
+    # BLK = 128 // row_width, so one gathered block is exactly one
+    # 128-lane vector register row: the id slice and each code word are
+    # static lane slices and the whole score pipeline is lane-parallel
+    # (ops/chunks.fetch_score_blocks).
+    entry_rows: Optional[jax.Array] = None
 
     @property
     def n_entries(self) -> int:
         return self.entry_ids.shape[0]
+
+
+ENTRY_ROW_ALIGN = 128  # lcm of all block sizes (128 // row_width >= 8)
+
+
+def _row_width(n_words: int) -> int:
+    """Entry-row word count: 1 id word + code words, padded to a power of
+    two (keeps the blocked layout and lane slices aligned)."""
+    return max(4, 1 << int(n_words).bit_length())
+
+
+def entry_block_size(n_words: int) -> int:
+    """Entries per fetch block: one block = 128 lanes = BLK * row_width."""
+    return 128 // _row_width(n_words)
+
+
+def make_entry_rows(sorted_ids: jax.Array, sorted_codes: jax.Array
+                    ) -> jax.Array:
+    """Blocked word-major (id, code) rows (see MIHTable.entry_rows)."""
+    n, w = sorted_codes.shape
+    rw = _row_width(w)
+    blk = 128 // rw
+    npad = -(-max(n, 1) // ENTRY_ROW_ALIGN) * ENTRY_ROW_ALIGN
+    rows = jnp.zeros((npad, rw), jnp.uint32)
+    rows = rows.at[:, 0].set(jnp.uint32(0xFFFFFFFF))
+    rows = rows.at[:n, 0].set(sorted_ids.astype(jnp.uint32))
+    rows = rows.at[:n, 1:1 + w].set(sorted_codes)
+    return rows.reshape(npad // blk, blk, rw).transpose(0, 2, 1) \
+               .reshape(npad // blk, blk * rw)
+
+
+def unblock_entry_rows(entry_rows, n_words: int):
+    """Host inverse of :func:`make_entry_rows`: blocked word-major rows →
+    ``(ids uint32[Npad], codes uint32[Npad, W])`` in entry (bucket) order."""
+    rows = np.asarray(entry_rows)
+    nb = rows.shape[0]
+    rw = _row_width(n_words)
+    blk = 128 // rw
+    flat = rows.reshape(nb, rw, blk).transpose(0, 2, 1).reshape(nb * blk, rw)
+    return flat[:, 0], flat[:, 1:1 + n_words]
 
 
 @dataclasses.dataclass
@@ -62,7 +111,7 @@ class MIHIndex:
 def _make_directory(sorted_subs: jax.Array, cfg: MIHConfig,
                     dense_threshold: int, directory: str):
     if directory == "auto":
-        directory = "dense" if cfg.s_bits <= dense_threshold else "hash"
+        directory = "dense" if cfg.s_bits <= dense_threshold else "range"
     if directory == "dense":
         return dir_lib.build_dense(sorted_subs, cfg.s_bits)
     if directory == "prefix":
@@ -71,6 +120,8 @@ def _make_directory(sorted_subs: jax.Array, cfg: MIHConfig,
         return dir_lib.build_sorted(sorted_subs)
     if directory == "hash":
         return dir_lib.build_hash(sorted_subs)
+    if directory == "range":
+        return dir_lib.build_range(sorted_subs, cfg.s_bits)
     raise ValueError(f"unknown directory kind {directory!r}")
 
 
@@ -83,11 +134,17 @@ def _build_table(codes_arr: jax.Array, table_id: int, cfg: MIHConfig,
     # Stable (substring, id) sort: bucket-internal id order matches the
     # reference's sequential-append order (build_hash_tables.cc:54-63).
     sorted_subs, sorted_ids = jax.lax.sort((subs, ids), num_keys=2)
-    entry_codes = codes_arr[sorted_ids] if store_codes else None
     d = _make_directory(sorted_subs, cfg, dense_threshold, directory)
+    entry_codes = entry_rows = None
+    if store_codes:
+        sorted_codes = codes_arr[sorted_ids]
+        if isinstance(d, dir_lib.RangeDirectory):
+            entry_rows = make_entry_rows(sorted_ids, sorted_codes)
+        else:
+            entry_codes = sorted_codes
     bmp = build_bitmap(sorted_subs, cfg.s_bits) if with_bitmap else None
     return MIHTable(entry_ids=sorted_ids, entry_codes=entry_codes,
-                    directory=d, bitmap=bmp)
+                    directory=d, bitmap=bmp, entry_rows=entry_rows)
 
 
 def build_index(codes_arr, cfg: MIHConfig = MIHConfig(),
@@ -132,10 +189,14 @@ def save_index(path: str, index: MIHIndex) -> None:
         arrs[f"t{t}_ids"] = np.asarray(tab.entry_ids)
         if tab.entry_codes is not None:
             arrs[f"t{t}_codes"] = np.asarray(tab.entry_codes)
+        if tab.entry_rows is not None:
+            arrs[f"t{t}_rows"] = np.asarray(tab.entry_rows)
         if isinstance(tab.directory, dir_lib.DenseDirectory):
             arrs[f"t{t}_offsets"] = np.asarray(tab.directory.offsets)
         elif isinstance(tab.directory, dir_lib.HashDirectory):
             arrs[f"t{t}_hashrows"] = np.asarray(tab.directory.rows)
+        elif isinstance(tab.directory, dir_lib.RangeDirectory):
+            arrs[f"t{t}_se"] = np.asarray(tab.directory.se)
         else:  # Sorted/Prefix: the sorted key column is the whole state
             arrs[f"t{t}_keys"] = np.asarray(tab.directory.keys)
         if tab.bitmap is not None:
@@ -152,12 +213,17 @@ def load_index(path: str) -> MIHIndex:
             d = dir_lib.DenseDirectory(offsets=jnp.asarray(z[f"t{t}_offsets"]))
         elif f"t{t}_hashrows" in z:
             d = dir_lib.HashDirectory(rows=jnp.asarray(z[f"t{t}_hashrows"]))
+        elif f"t{t}_se" in z:
+            d = dir_lib.RangeDirectory(se=jnp.asarray(z[f"t{t}_se"]),
+                                       s_bits=cfg.s_bits)
         else:
             d = dir_lib.build_prefix(jnp.asarray(z[f"t{t}_keys"]), cfg.s_bits)
         bmp = (Bitmap(words=jnp.asarray(z[f"t{t}_bitmap"]))
                if f"t{t}_bitmap" in z else None)
         ec = (jnp.asarray(z[f"t{t}_codes"]) if f"t{t}_codes" in z else None)
+        er = (jnp.asarray(z[f"t{t}_rows"]) if f"t{t}_rows" in z else None)
         tables.append(MIHTable(entry_ids=jnp.asarray(z[f"t{t}_ids"]),
-                               entry_codes=ec, directory=d, bitmap=bmp))
+                               entry_codes=ec, directory=d, bitmap=bmp,
+                               entry_rows=er))
     codes_arr = jnp.asarray(z["codes"]) if "codes" in z else None
     return MIHIndex(cfg=cfg, tables=tables, n=int(z["n"]), codes=codes_arr)

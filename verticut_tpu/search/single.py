@@ -31,9 +31,16 @@ import jax.numpy as jnp
 
 from verticut_tpu import codes as codes_lib
 from verticut_tpu.config import MIHConfig, SearchConfig
+from verticut_tpu.index import directory as dir_lib
 from verticut_tpu.index.mih import MIHIndex, MIHTable
+from verticut_tpu.ops import chunks as chunks_lib
 from verticut_tpu.ops import enumeration, topk
 from verticut_tpu.search import linear as linear_lib
+
+# Fetch-block size for the range-directory engine: 16 rows x 32 B = 512 B
+# per gather row — the widest row that still gathers at the flat ~16 ns/row
+# issue rate (DESIGN.md §1 measurement table).
+RANGE_BLK = 16
 
 
 class SearchState(NamedTuple):
@@ -123,6 +130,41 @@ def expand_buckets(starts: jax.Array, counts: jax.Array, cap: int):
 # One radius step (jitted per (radius, shapes); tables unrolled)
 # --------------------------------------------------------------------------
 
+def _table_candidates_range(table: MIHTable, queries: jax.Array,
+                            q_sub: jax.Array, pmasks: jax.Array,
+                            done: jax.Array, cap: int, s_bits: int):
+    """Candidates for one range-directory table at one radius.
+
+    ``pmasks`` are flip masks over the directory's ``pbits`` prefix bits
+    (NOT the full substring): one probe per flipped *prefix* fetches the
+    whole contiguous sorted-row range sharing that prefix, covering every
+    low-bit flip mask at once plus extra neighbors that are scored with
+    their true distance (a superset — exactness preserved; see
+    index/directory.RangeDirectory). Returns
+    (cand_dist [Q, S], cand_id [Q, S], n_scored, overflow, n_probe,
+    n_nonempty) where S = cap rounded to the fetch-block budget.
+    """
+    from verticut_tpu.index.mih import entry_block_size
+    d = table.directory
+    blk = entry_block_size(queries.shape[-1])
+    chb = max(4, cap // blk)
+    shift = s_bits - d.pbits
+    pref = (q_sub >> jnp.uint32(shift))[:, None] ^ pmasks[None, :]  # [Q, H]
+    starts, counts = d.range_lookup(pref)
+    active = ~done
+    counts = jnp.where(active[:, None], counts, 0)
+    n_probe = jnp.where(active, pref.shape[1], 0).astype(jnp.int32)
+    n_nonempty = jnp.sum((counts > 0).astype(jnp.int32), axis=-1)
+
+    n_blocks = table.entry_rows.shape[0]
+    blk_id, lo, hi, _nch, overflow = chunks_lib.chunk_descriptors(
+        starts, counts, blk=blk, chb=chb, n_blocks=n_blocks)
+    dist, cand_id = chunks_lib.fetch_score_blocks(
+        table.entry_rows, blk_id, lo, hi, queries, blk=blk)
+    n_scored = jnp.sum(hi - lo, axis=-1)
+    return dist, cand_id, n_scored, overflow, n_probe, n_nonempty
+
+
 def _table_candidates(table: MIHTable, all_codes: Optional[jax.Array],
                       queries: jax.Array, q_sub: jax.Array,
                       masks: jax.Array, done: jax.Array, cap: int,
@@ -173,14 +215,21 @@ def radius_step(tables: Tuple[MIHTable, ...], all_codes: Optional[jax.Array],
     n_probes = state.n_probes
     n_nonempty = state.n_nonempty
     overflow = state.overflow
+    is_range = isinstance(tables[0].directory, dir_lib.RangeDirectory)
     for t in range(n_tables):
-        d, i, tot, npb, nne = _table_candidates(
-            tables[t], all_codes, queries, q_subs[:, t], masks, state.done,
-            cap, use_bitmap)
+        if is_range:
+            d, i, tot, ovf, npb, nne = _table_candidates_range(
+                tables[t], queries, q_subs[:, t], masks, state.done, cap,
+                s_bits)
+            overflow = overflow | ovf
+        else:
+            d, i, tot, npb, nne = _table_candidates(
+                tables[t], all_codes, queries, q_subs[:, t], masks,
+                state.done, cap, use_bitmap)
+            overflow = overflow | (tot > cap)
         cands_d.append(d)
         cands_i.append(i)
         total_c = total_c + jnp.minimum(tot, cap)
-        overflow = overflow | (tot > cap)
         n_probes = n_probes + npb
         n_nonempty = n_nonempty + nne
 
@@ -219,18 +268,36 @@ def _pow2ceil(x: int) -> int:
     return 1 << max(0, int(x - 1).bit_length())
 
 
+def _index_mask_bits(index: MIHIndex) -> int:
+    """Bits the flip-mask enumeration runs over: the range directory's
+    prefix width (probes are per-prefix), else the full substring width."""
+    d = index.tables[0].directory
+    if isinstance(d, dir_lib.RangeDirectory):
+        return d.pbits
+    return index.cfg.s_bits
+
+
 def _cap_for_radius(scfg: SearchConfig, cfg: MIHConfig, n: int, radii,
-                    pool_size: int) -> int:
+                    pool_size: int, mask_bits: Optional[int] = None,
+                    is_range: bool = False) -> int:
     """Per-radius candidate capacity: sized from the uniform-occupancy
     expectation plus headroom; overflow detection + re-run covers skewed
     (clustered) data. Shrinking the cap is the single biggest lever on the
     gather/merge cost, so it must track the radius, not the worst case."""
     if isinstance(radii, int):
         radii = (radii,)
-    n_m = sum(enumeration.n_masks(cfg.s_bits, r) for r in radii)
-    # uniform-occupancy expectation: C probes x n/2^s entries per value
-    expected = n_m * (n / float(1 << cfg.s_bits))
-    cap = _pow2ceil(int(4 * expected) + 4 * pool_size + 128)
+    mask_bits = mask_bits or cfg.s_bits
+    n_m = sum(enumeration.n_masks(mask_bits, r) for r in radii)
+    # uniform-occupancy expectation: C probes x n/2^mask_bits per value
+    expected = n_m * (n / float(1 << mask_bits))
+    if is_range:
+        # slots consumed = fetch blocks: >=1 block per nonempty probe, the
+        # range rows themselves, plus headroom for one clustered hot range
+        blk = RANGE_BLK
+        slots = n_m * blk + 2 * int(expected) + 12 * blk
+        cap = -(-slots // (4 * blk)) * (4 * blk)
+    else:
+        cap = _pow2ceil(int(4 * expected) + 4 * pool_size + 128)
     return int(min(scfg.candidate_cap, max(256, cap)))
 
 @functools.partial(jax.jit, static_argnames=("new_batch",))
@@ -253,11 +320,12 @@ def _scatter_rows(full: SearchState, orig: jax.Array,
 @functools.partial(
     jax.jit,
     static_argnames=("schedule", "caps", "batch_caps", "n_tables", "knn",
-                     "pool_size", "approximate", "use_bitmap", "s_bits"))
+                     "pool_size", "approximate", "use_bitmap", "s_bits",
+                     "retry_caps", "retry_budget"))
 def fused_pipeline(tables, all_codes, queries, q_subs, masks_tuple,
                    state0: SearchState, *, schedule, caps, batch_caps,
                    n_tables, knn, pool_size, approximate, use_bitmap,
-                   s_bits):
+                   s_bits, retry_caps=None, retry_budget=0):
     """The whole radius schedule as ONE device program.
 
     The loop driver costs one host round-trip per radius (the done-check)
@@ -267,6 +335,15 @@ def fused_pipeline(tables, all_codes, queries, q_subs, masks_tuple,
     are fixed up front (``batch_caps``), and a ``compact_ovf`` flag reports
     if the active set ever exceeded its stage budget — the host then falls
     back to the adaptive loop driver for exactness. One dispatch, one sync.
+
+    ``retry_caps``: optional per-stage caps for a device-side overflow
+    retry pass — queries whose candidate buffers clipped (``overflow`` set,
+    the exactness contract's re-run trigger) are compacted into a
+    ``retry_budget`` sub-batch and re-searched from radius 0 at the larger
+    caps, entirely on device. Without it the host driver pays a separate
+    dispatch + sync round trip per retry (~100+ ms on this rig for what is
+    ~10 ms of compute at typical overflow rates). Stages lax.cond-skip when
+    nothing overflowed.
     """
     nq = queries.shape[0]
     full = state0
@@ -307,7 +384,88 @@ def fused_pipeline(tables, all_codes, queries, q_subs, masks_tuple,
                 cur_qs = cur_qs[sel]
                 cur_state = SearchState(*(leaf[sel] for leaf in cur_state))
                 orig = orig[sel]
+
+    if retry_caps:
+        # Compact the overflowed-but-finished rows (unfinished ones hit the
+        # exact linear fallback regardless) and re-run the schedule on them.
+        flag = full.overflow & full.done
+        idx = jnp.arange(nq, dtype=jnp.int32)
+        _, perm = jax.lax.sort(((~flag).astype(jnp.int32), idx), num_keys=2)
+        sel = perm[:retry_budget]
+        n_retry = jnp.sum(flag.astype(jnp.int32))
+        compact_ovf = compact_ovf | (n_retry > retry_budget)
+        rq = queries[sel]
+        rqs = q_subs[sel]
+        flag_sel = flag[sel]
+        rstate = init_state(retry_budget, pool_size)._replace(done=~flag_sel)
+        for i, (r, _group) in enumerate(schedule):
+            def _rrun(cs, i=i, r=r):
+                return radius_step(
+                    tables, all_codes, rq, rqs, masks_tuple[i], cs,
+                    radius=r, n_tables=n_tables, knn=knn,
+                    pool_size=pool_size, cap=retry_caps[i],
+                    approximate=approximate, use_bitmap=use_bitmap,
+                    s_bits=s_bits)
+            rstate = jax.lax.cond(jnp.all(rstate.done),
+                                  lambda cs: cs, _rrun, rstate)
+
+        def _blend(f, c):
+            m = flag_sel.reshape((-1,) + (1,) * (c.ndim - 1))
+            return f.at[sel].set(jnp.where(m, c, f[sel]))
+
+        # pools/flags come from the re-run; read-amplification stats keep
+        # the first run's counts (matching the host retry path's semantics)
+        full = full._replace(
+            pool_dist=_blend(full.pool_dist, rstate.pool_dist),
+            pool_id=_blend(full.pool_id, rstate.pool_id),
+            done=_blend(full.done, rstate.done),
+            radius=_blend(full.radius, rstate.radius),
+            overflow=_blend(full.overflow, rstate.overflow))
     return full, compact_ovf
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("schedule", "caps", "batch_caps", "n_tables", "knn",
+                     "pool_size", "approximate", "use_bitmap", "s_bits",
+                     "retry_caps", "retry_budget"))
+def fused_pipeline_packed(tables, all_codes, queries, masks_tuple, *,
+                          n_tables, pool_size, **kw) -> jax.Array:
+    """fused_pipeline as ONE dispatch end-to-end, result flattened into ONE
+    int32 array ``[Q, 2P + 7]`` = [pool_dist | pool_id | done radius
+    overflow n_probes n_nonempty n_cands covf].
+
+    Substring extraction and state init happen inside the jit, and the
+    result is a single array: through a remote-device relay every eager op
+    dispatch, array creation, and device_get leaf costs a host round trip
+    (~10-30 ms each — CLAUDE.md), which at 8+ leaves dwarfs the ~70 ms of
+    actual search.
+    """
+    q_subs = codes_lib.all_substrings(queries, n_tables)
+    state0 = init_state(queries.shape[0], pool_size)
+    full, covf = fused_pipeline(tables, all_codes, queries, q_subs,
+                                masks_tuple, state0, n_tables=n_tables,
+                                pool_size=pool_size, **kw)
+    nq = queries.shape[0]
+    cols = jnp.stack([full.done.astype(jnp.int32), full.radius,
+                      full.overflow.astype(jnp.int32), full.n_probes,
+                      full.n_nonempty, full.n_cands,
+                      jnp.broadcast_to(covf.astype(jnp.int32), (nq,))],
+                     axis=1)
+    return jnp.concatenate([full.pool_dist, full.pool_id, cols], axis=1)
+
+
+_MASK_CACHE = {}
+
+
+def _device_masks(mask_bits: int, group) -> jax.Array:
+    """Per-(bits, group) device-resident flip-mask arrays — re-uploading
+    them every call costs a relay round trip each."""
+    key = (mask_bits, tuple(group))
+    if key not in _MASK_CACHE:
+        _MASK_CACHE[key] = jnp.asarray(np.concatenate(
+            [enumeration.flip_masks(mask_bits, g) for g in group]))
+    return _MASK_CACHE[key]
 
 
 def _retire(final: dict, orig_ids: np.ndarray, state: SearchState,
@@ -323,74 +481,100 @@ def _retire(final: dict, orig_ids: np.ndarray, state: SearchState,
                           n_cands[ri])
 
 
-def _radius_schedule(scfg: SearchConfig, cfg: MIHConfig, n: int):
+def _radius_schedule(scfg: SearchConfig, cfg: MIHConfig, n: int,
+                     mask_bits: Optional[int] = None,
+                     is_range: bool = False):
     """Shared schedule: coalesced (exact) or per-radius groups, cut at the
     enumeration-vs-scan crossover."""
-    max_r = min(scfg.max_enum_radius, cfg.s_bits)
+    mask_bits = mask_bits or cfg.s_bits
+    max_r = min(scfg.max_enum_radius, mask_bits)
     if scfg.coalesce_radii and not scfg.approximate and max_r >= 1:
         schedule = [(1, (0, 1))] + [(r, (r,)) for r in range(2, max_r + 1)]
     else:
         schedule = [(r, (r,)) for r in range(max_r + 1)]
     out = []
     for r, group in schedule:
-        n_group = sum(enumeration.n_masks(cfg.s_bits, g) for g in group)
-        if (r > 1 and n_group * cfg.n_tables
-                > scfg.fallback_ratio * max(n, 1)):
+        n_group = sum(enumeration.n_masks(mask_bits, g) for g in group)
+        if is_range:
+            # cost unit is fetched rows: ~(expected range + one block) per
+            # probe, vs scanning all n codes once
+            est_rows = n_group * (n / float(1 << mask_bits) + RANGE_BLK)
+            too_dear = est_rows * cfg.n_tables > scfg.fallback_ratio * max(n, 1)
+        else:
+            too_dear = (n_group * cfg.n_tables
+                        > scfg.fallback_ratio * max(n, 1))
+        if r > 1 and too_dear:
             break
         out.append((r, group))
     return tuple(out)
 
 
-def _mih_search_fused(index: MIHIndex, queries, queries0, q_subs, tables,
-                      state0: SearchState, scfg: SearchConfig,
+def _mih_search_fused(index: MIHIndex, queries, tables,
+                      scfg: SearchConfig,
                       _cap: Optional[int]) -> Optional[SearchResult]:
     """Single-dispatch fused search; returns None if a stage budget was
     exceeded (caller falls back to the adaptive loop)."""
     cfg = index.cfg
     nq = queries.shape[0]
     k, pool_size = scfg.knn, scfg.pool_size
+    mask_bits = _index_mask_bits(index)
+    is_range = mask_bits != cfg.s_bits or isinstance(
+        index.tables[0].directory, dir_lib.RangeDirectory)
     schedule = tuple(
-        (r, g) for r, g in _radius_schedule(scfg, cfg, index.n)
-        if sum(enumeration.n_masks(cfg.s_bits, x) for x in g)
+        (r, g)
+        for r, g in _radius_schedule(scfg, cfg, index.n, mask_bits, is_range)
+        if sum(enumeration.n_masks(mask_bits, x) for x in g)
         <= scfg.fused_max_masks)
     if not schedule:
         return None
-    caps = tuple(_cap or _cap_for_radius(scfg, cfg, index.n, g, pool_size)
+    caps = tuple(_cap or _cap_for_radius(scfg, cfg, index.n, g, pool_size,
+                                         mask_bits, is_range)
                  for _, g in schedule)
     batch_caps = tuple(
         nq if i == 0 else max(64, nq >> (3 + 2 * (i - 1)))
         for i in range(len(schedule)))
-    masks_tuple = tuple(
-        jnp.asarray(np.concatenate(
-            [enumeration.flip_masks(cfg.s_bits, g) for g in group]))
-        for _, group in schedule)
+    masks_tuple = tuple(_device_masks(mask_bits, group)
+                        for _, group in schedule)
 
-    full, covf = fused_pipeline(
-        tables, index.codes, queries, q_subs, masks_tuple, state0,
+    retry_caps = tuple(min(c * 4, max(scfg.candidate_cap, c)) for c in caps)
+    packed = fused_pipeline_packed(
+        tables, index.codes, queries, masks_tuple,
         schedule=schedule, caps=caps, batch_caps=batch_caps,
         n_tables=cfg.n_tables, knn=k, pool_size=pool_size,
         approximate=scfg.approximate, use_bitmap=scfg.use_bitmap,
-        s_bits=cfg.s_bits)
-    host, covf = jax.device_get((tuple(full), covf))  # the single sync
-    if bool(covf):
+        s_bits=cfg.s_bits,
+        retry_caps=retry_caps if retry_caps != caps else None,
+        retry_budget=min(nq, max(64, nq // 4)))
+    host = jax.device_get(packed)  # the single sync, one transfer
+    if host[0, -1]:  # covf (replicated per row)
         return None
-    (pd, pi, done, radius, overflow, n_probes, n_nonempty, n_cands) = host
+    pd, pi = host[:, :pool_size], host[:, pool_size:2 * pool_size]
+    cols = host[:, 2 * pool_size:]
+    done, radius, overflow = cols[:, 0] != 0, cols[:, 1], cols[:, 2] != 0
+    n_probes, n_nonempty, n_cands = cols[:, 3], cols[:, 4], cols[:, 5]
     dists = pd[:, :k].copy()
     ids = pi[:, :k].copy()
     radius = radius.copy()
     not_done = ~done
-    return _apply_fallbacks(index, queries0, scfg, _cap, k, dists, ids,
+    return _apply_fallbacks(index, queries, scfg, _cap, k, dists, ids,
                             radius, overflow, not_done, n_probes,
                             n_nonempty, n_cands)
 
 
-def _apply_fallbacks(index, queries0, scfg, _cap, k, dists, ids, radius,
+def _apply_fallbacks(index, queries, scfg, _cap, k, dists, ids, radius,
                      overflow, not_done, n_probes, n_nonempty, n_cands
                      ) -> SearchResult:
-    """Overflow retry + brute-force fallback, shared by both drivers."""
+    """Overflow retry + brute-force fallback, shared by both drivers.
+
+    ``queries`` may be a device array; the host copy is materialized only
+    when a retry/fallback actually fires (the device->host pull is a relay
+    round trip that the common all-finished path must not pay).
+    """
     redo = overflow & ~not_done
     base_cap = _cap or scfg.candidate_cap
+    queries0 = None
     if redo.any() and base_cap < index.n:
+        queries0 = np.asarray(queries)
         idxs = np.nonzero(redo)[0]
         sub = mih_search(index, queries0[idxs], scfg,
                          _cap=min(base_cap * 4, max(index.n, 8)))
@@ -403,6 +587,8 @@ def _apply_fallbacks(index, queries0, scfg, _cap, k, dists, ids, radius,
             raise ValueError(
                 "queries unfinished at max_enum_radius and index has no "
                 "code array for linear fallback; raise max_enum_radius")
+        if queries0 is None:
+            queries0 = np.asarray(queries)
         idxs = np.nonzero(not_done)[0]
         ld, li = linear_lib.linear_search(queries0[idxs], index.codes, k)
         dists[idxs] = np.asarray(ld)
@@ -428,19 +614,19 @@ def mih_search(index: MIHIndex, queries, scfg: SearchConfig = SearchConfig(),
     """
     cfg = index.cfg
     queries = jnp.asarray(queries, jnp.uint32)
-    queries0 = np.asarray(queries)    # original order, for retry/fallback
     nq = queries.shape[0]
     k, pool_size = scfg.knn, scfg.pool_size
-    q_subs = index.table_subs(queries)
     tables = tuple(index.tables)
-    state = init_state(nq, pool_size)
 
     if scfg.fused and _fused:
-        out = _mih_search_fused(index, queries, queries0, q_subs, tables,
-                                state, scfg, _cap)
+        out = _mih_search_fused(index, queries, tables, scfg, _cap)
         if out is not None:
             return out
         # stage budget exceeded: fall through to the adaptive loop
+
+    queries0 = np.asarray(queries)    # original order, for retry/fallback
+    q_subs = index.table_subs(queries)
+    state = init_state(nq, pool_size)
 
     # Batch compaction: probe cost is paid per batch row whether or not a
     # query is done (data-independent shapes), and C(s, r) grows fast while
@@ -453,10 +639,12 @@ def mih_search(index: MIHIndex, queries, scfg: SearchConfig = SearchConfig(),
     # radius schedule: exact mode coalesces {0, 1} into one step (results
     # identical — see SearchConfig.coalesce_radii); the schedule is already
     # cut at the enumeration-vs-scan crossover
-    for r, group in _radius_schedule(scfg, cfg, index.n):
-        cap = _cap or _cap_for_radius(scfg, cfg, index.n, group, pool_size)
-        masks = jnp.asarray(np.concatenate(
-            [enumeration.flip_masks(cfg.s_bits, g) for g in group]))
+    mask_bits = _index_mask_bits(index)
+    is_range = isinstance(index.tables[0].directory, dir_lib.RangeDirectory)
+    for r, group in _radius_schedule(scfg, cfg, index.n, mask_bits, is_range):
+        cap = _cap or _cap_for_radius(scfg, cfg, index.n, group, pool_size,
+                                      mask_bits, is_range)
+        masks = _device_masks(mask_bits, group)
         step_kw = dict(
             radius=r, n_tables=cfg.n_tables, knn=k, pool_size=pool_size,
             cap=cap, approximate=scfg.approximate,
