@@ -98,11 +98,12 @@ class SearchConfig:
     # adaptive per-radius loop if the active set outgrows a stage budget.
     fused: bool = True
     # Largest per-group mask count admitted into the fused program; later
-    # radii (C(32,4)=36k masks legacy, C(17,4)=2.4k range-engine) blow
+    # radii (C(32,4)=36k masks legacy, C(17,3)=680 range-engine) blow
     # compile time and HBM for their intermediates and cover a vanishing
-    # fraction of queries — the stragglers take the exact brute-force
-    # fallback instead.
-    fused_max_masks: int = 2048
+    # fraction of queries — the stragglers take the exact brute-force scan
+    # instead (in-device scan stage when the fused driver runs, host
+    # fallback otherwise).
+    fused_max_masks: int = 512
     # Switch to the brute-force scan once enumerating the next radius costs
     # more probes than scanning the whole DB costs distance evaluations
     # (n_masks(s,r)*m > fallback_ratio*N). The reference has no such

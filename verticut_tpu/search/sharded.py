@@ -4,20 +4,33 @@ The distributed path of the reference — one MPI rank per substring table
 probing its own hash table, per-radius ``MPI_Gatherv`` of candidates to the
 master, dedup + bounded heap there, stop flag broadcast back
 (``src/search_worker.cc:159-218``, ``src/mpi_coordinator.cc:34-69``) —
-rebuilt as SPMD ``shard_map``:
+rebuilt as SPMD ``shard_map`` over the range-directory engine:
 
-* table ``t``'s CSR arrays live on mesh slice ``table=t``, range-partitioned
-  over ``shard`` (contiguous slices of the substring-sorted rows, so each
-  device's directory is just its slice of the sorted column; a bucket that
-  straddles a boundary is returned piecewise and merged downstream).
+* table ``t``'s substring-sorted entry-row blocks live on mesh slice
+  ``table=t``, range-partitioned over ``shard`` (contiguous slices, so a
+  probed prefix range intersects each shard in one clamp — the bucket that
+  straddles a boundary is returned piecewise and merged downstream, the
+  Pilaf multi-server key split made contiguous).
+* the per-table range directory (``se`` pairs in GLOBAL row coordinates)
+  is replicated over ``shard``: each device clamps probed ranges to its
+  own row slice.
 * Queries are sharded over ``query`` and replicated over table/shard.
-* Per radius: every device probes locally → fixed-capacity candidate
-  buffers → ``all_gather`` over (table, shard) → *replicated* dedup top-k
-  merge. No master rank: every device holds the same pool, the stop
-  predicate is computed redundantly, and the ``bcast`` disappears.
+* Per radius: every device probes + block-fetches locally →
+  ``all_gather`` of fixed-capacity candidates over (table, shard) →
+  *replicated* dedup top-k merge. No master rank: every device holds the
+  same pool, the stop predicate is computed redundantly, the ``bcast``
+  disappears.
 
-The host driver mirrors search/single.py: python loop over radius, jitted
-shard_map step, overflow retry, brute-force fallback (itself sharded).
+Two drivers share the per-device step:
+
+* :func:`sharded_mih_search` — the default. With ``scfg.fused`` the WHOLE
+  schedule (+ device-side overflow retry + straggler scan) runs as ONE
+  shard_map dispatch via search.single.run_pipeline — the multi-chip
+  analog of the fused single-device pipeline (one host sync per batch
+  instead of one per radius; the reference hides that latency inside MPI,
+  a luxury a remote-device host loop does not get).
+* the per-radius host loop (``fused=False``) — simple, used by tests as a
+  second opinion.
 """
 
 from __future__ import annotations
@@ -34,47 +47,53 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from verticut_tpu import codes as codes_lib
 from verticut_tpu.config import MIHConfig, SearchConfig
+from verticut_tpu.index import directory as dir_lib
+from verticut_tpu.index.mih import entry_block_size
+from verticut_tpu.ops import chunks as chunks_lib
 from verticut_tpu.ops import enumeration, topk
 from verticut_tpu.parallel import collectives
 from verticut_tpu.search.single import (SearchResult, SearchState,
-                                        expand_buckets, init_state)
+                                        _cap_for_radius, _device_masks,
+                                        _radius_schedule, init_state,
+                                        run_pipeline)
 
 
 @dataclasses.dataclass
 class ShardedMIHIndex:
     """Global-view arrays laid out over the mesh.
 
-    ``entry_ids [m, N]``, ``entry_codes [m, N, W]``, ``keys [m, N]`` are
-    sharded P("table", "shard"); ``codes [N, W]`` (for the brute-force
-    fallback) is sharded P(("table", "shard")) on rows.
+    ``entry_rows [m, NB, 128]`` (blocked word-major (id, code) rows, see
+    index/mih.MIHTable.entry_rows) is sharded P(table, shard);
+    ``se [m, 2^pbits, 2]`` (range directory, global row coordinates) is
+    sharded P(table) and replicated over shard/query; ``codes [Ntot, W]``
+    (brute-force fallback + scan stage) is row-sharded over both model
+    axes.
     """
 
     cfg: MIHConfig
     mesh: Mesh
     n: int
-    entry_ids: jax.Array
-    entry_codes: jax.Array
-    codes: jax.Array
-    # per-(table, shard) cuckoo hash directory over the *local* key slice
-    # (index/directory.HashDirectory layout: 16B rows [key, start, count, 0],
-    # starts/counts in shard-local coordinates — a bucket straddling a shard
-    # boundary appears piecewise in both shards and merges downstream)
-    hash_rows: jax.Array        # uint32[m, n_shards, S, 4]
+    n_rows: int                 # padded per-table row count (Ntot)
+    entry_rows: jax.Array       # uint32[m, NB, 128]
+    se: jax.Array               # int32[m, 2^pbits, 2]
+    codes: jax.Array            # uint32[Ntot, W]
 
     @property
     def n_shards(self) -> int:
         return self.mesh.shape["shard"]
 
+    @property
+    def pbits(self) -> int:
+        return (self.se.shape[1]).bit_length() - 1
 
-def build_sharded_index(codes_arr, cfg: MIHConfig, mesh: Mesh
-                        ) -> ShardedMIHIndex:
+
+def build_sharded_index(codes_arr, cfg: MIHConfig, mesh: Mesh,
+                        pbits: Optional[int] = None) -> ShardedMIHIndex:
     """Build on host/any-device, then lay out over the mesh.
 
     The sort-per-table build is identical to the single-device path
     (index/mih.py); distribution is pure layout: contiguous row ranges of
-    each sorted table go to the ``shard`` axis (the Pilaf
-    ``hash mod server_count`` key-space split becomes a *range* split,
-    which keeps buckets contiguous and directories local).
+    each sorted table go to the ``shard`` axis.
     """
     if mesh.shape["table"] not in (1, cfg.n_tables):
         raise ValueError(
@@ -82,16 +101,21 @@ def build_sharded_index(codes_arr, cfg: MIHConfig, mesh: Mesh
             f"{cfg.n_tables} (or 1)")
     codes_arr = jnp.asarray(codes_arr, jnp.uint32)
     n = codes_arr.shape[0]
-    n_dev_rows = mesh.shape["shard"] * mesh.shape["table"]
-    # Pad so every device slice is equal-size. Padded entries carry
-    # key=0xFFFFFFFF and id=-1: if a real probe happens to equal 0xFFFFFFFF
-    # the padded hits surface with id=-1, which the dedup merge already
-    # treats as invalid — so padding is semantically inert.
-    n_pad = (-n) % n_dev_rows  # n_shards divides n_dev_rows
-    n_tot = n + n_pad
+    blk = entry_block_size(cfg.n_words)
+    rw = 128 // blk
+    n_shards = mesh.shape["shard"]
+    # every shard slice must hold whole blocks
+    unit = n_shards * 128
+    n_tot = -(-max(n, 1) // unit) * unit
+    n_pad = n_tot - n
+    pbits = pbits or dir_lib.pick_range_pbits(n, cfg.s_bits, blk)
+    # Padded entries carry substring key 0xFFFFFFFF (they land in the last
+    # prefix's range) and id -1, which every consumer treats as invalid.
     ids = jnp.concatenate([jnp.arange(n, dtype=jnp.int32),
                            jnp.full((n_pad,), -1, jnp.int32)])
-    keys_t, ids_t, codes_t = [], [], []
+    rows_t, se_t = [], []
+    shift = cfg.s_bits - pbits
+    grid = jnp.arange((1 << pbits) + 1, dtype=jnp.int32).astype(jnp.uint32)
     for t in range(cfg.n_tables):
         subs = codes_lib.substring(codes_arr, t, cfg.s_bits)
         subs = jnp.concatenate(
@@ -99,80 +123,53 @@ def build_sharded_index(codes_arr, cfg: MIHConfig, mesh: Mesh
         sk, si_pos = jax.lax.sort(
             (subs, jnp.arange(n_tot, dtype=jnp.int32)), num_keys=2)
         si = ids[si_pos]
-        keys_t.append(sk)
-        ids_t.append(si)
-        codes_t.append(jnp.where((si >= 0)[:, None],
-                                 codes_arr[jnp.clip(si, 0, n - 1)], 0))
-    entry_ids = jnp.stack(ids_t)                # [m, Ntot]
-    entry_codes = jnp.stack(codes_t)            # [m, Ntot, W]
+        sc = jnp.where((si >= 0)[:, None],
+                       codes_arr[jnp.clip(si, 0, n - 1)], 0)
+        rows = jnp.zeros((n_tot, rw), jnp.uint32)
+        rows = rows.at[:, 0].set(si.astype(jnp.uint32))
+        rows = rows.at[:, 1:1 + cfg.n_words].set(sc)
+        rows_t.append(rows.reshape(n_tot // blk, blk, rw)
+                      .transpose(0, 2, 1).reshape(n_tot // blk, blk * rw))
+        pref = (sk >> jnp.uint32(shift)).astype(jnp.uint32)
+        offs = jnp.searchsorted(pref, grid, side="left").astype(jnp.int32)
+        se_t.append(jnp.stack([offs[:-1], offs[1:]], axis=-1))
+
+    entry_rows = jnp.stack(rows_t)              # [m, NB, 128]
+    se = jnp.stack(se_t)                        # [m, 2^p, 2]
     codes_padded = jnp.concatenate(
         [codes_arr, jnp.zeros((n_pad, cfg.n_words), jnp.uint32)])
 
-    # per-(table, shard) cuckoo directories over the local sorted slices
-    # (host C++ build; same slot count everywhere so the stack is regular)
-    from verticut_tpu import native
-    n_shards = mesh.shape["shard"]
-    n_loc = n_tot // n_shards
-    keys_host = [np.asarray(kt) for kt in keys_t]
-    n_slots = 8
-    for kh in keys_host:
-        for s in range(n_shards):
-            sl = kh[s * n_loc:(s + 1) * n_loc]
-            uniq = 1 if len(sl) == 0 else int((sl[1:] != sl[:-1]).sum()) + 1
-            n_slots = max(n_slots, 1 << max(
-                3, int(np.ceil(np.log2(max(uniq, 1) / 0.4)))))
-    while True:  # a failed cuckoo build doubles its table; keep stack regular
-        rows = np.zeros((cfg.n_tables, n_shards, n_slots, 4), np.uint32)
-        grew = False
-        for t in range(cfg.n_tables):
-            for s in range(n_shards):
-                tbl = native.build_hashdir(
-                    keys_host[t][s * n_loc:(s + 1) * n_loc], n_slots)
-                if tbl.shape[0] != n_slots:
-                    n_slots = tbl.shape[0]
-                    grew = True
-                    break
-                rows[t, s] = tbl
-            if grew:
-                break
-        if not grew:
-            break
-
-    # replicate table dim if the mesh folds tables onto one slice
     tspec = "table" if mesh.shape["table"] == cfg.n_tables else None
-    s_te = NamedSharding(mesh, P(tspec, "shard"))
-    s_tc = NamedSharding(mesh, P(tspec, "shard", None))
-    s_db = NamedSharding(mesh, P(("table", "shard"), None))
     return ShardedMIHIndex(
-        cfg=cfg, mesh=mesh, n=n,
-        entry_ids=jax.device_put(entry_ids, s_te),
-        entry_codes=jax.device_put(entry_codes, s_tc),
-        codes=jax.device_put(codes_padded, s_db),
-        hash_rows=jax.device_put(
-            jnp.asarray(rows),
-            NamedSharding(mesh, P(tspec, "shard", None, None))))
+        cfg=cfg, mesh=mesh, n=n, n_rows=n_tot,
+        entry_rows=jax.device_put(
+            entry_rows, NamedSharding(mesh, P(tspec, "shard", None))),
+        se=jax.device_put(se, NamedSharding(mesh, P(tspec, None, None))),
+        codes=jax.device_put(
+            codes_padded, NamedSharding(mesh, P(("table", "shard"), None))))
 
 
 # --------------------------------------------------------------------------
-# Per-device radius step
+# Per-device radius step (range engine, shard-local clamp)
 # --------------------------------------------------------------------------
 
-def _device_radius_step(entry_ids, entry_codes, hash_rows, queries, q_subs,
-                        masks, state: SearchState, *, radius, n_tables,
-                        n_mesh_tables, knn, cap, approximate, s_bits,
-                        n_total):
-    """Runs on one device inside shard_map. Local blocks:
-
-    entry_ids [Tl, Nl], entry_codes [Tl, Nl, W], hash_rows [Tl, 1, S, 4]
-    (shard-local cuckoo directory), queries [Ql, W], q_subs [Ql, m],
-    state leaves [Ql, ...]. ``Tl`` = tables per device (m when the table
-    axis is folded to 1).
-    """
-    from verticut_tpu.index.directory import HashDirectory
+def _device_radius_step(entry_rows, se, queries, q_subs, masks,
+                        state: SearchState, *, radius, n_tables,
+                        n_mesh_tables, n_shards, knn, cap, approximate,
+                        s_bits, pbits, n_rows, n_total):
+    """One radius step on one device. Local blocks: entry_rows
+    [Tl, NBl, 128], se [Tl, 2^p, 2] (global row coords), queries [Ql, W],
+    q_subs [Ql, m], state leaves [Ql, ...]."""
     gather_axes = ("table", "shard")
     t0 = jax.lax.axis_index("table")
-    tl = entry_ids.shape[0]
-    nl = entry_ids.shape[1]
+    s0 = jax.lax.axis_index("shard")
+    tl = entry_rows.shape[0]
+    nbl = entry_rows.shape[1]
+    blk = entry_block_size(queries.shape[-1])
+    n_loc = n_rows // n_shards
+    row0 = (s0 * n_loc).astype(jnp.int32)
+    chb = max(4, cap // blk)
+    shift = s_bits - pbits
     active = ~state.done
 
     all_d, all_i = [], []
@@ -181,26 +178,30 @@ def _device_radius_step(entry_ids, entry_codes, hash_rows, queries, q_subs,
     total_c = jnp.zeros_like(state.n_cands)
     overflow_l = jnp.zeros_like(state.done)
     for tt in range(tl):
-        # global table id of local block tt (traced when tables are spread
-        # over the mesh axis, static when folded onto one device)
         tglob = t0 * tl + tt if n_mesh_tables > 1 else tt
         my_sub = jnp.take(q_subs, tglob, axis=1)
-        probes = my_sub[:, None] ^ masks[None, :]           # [Ql, C]
-        # local cuckoo directory probe: 2 independent row gathers
-        starts, counts = HashDirectory(hash_rows[tt, 0]).lookup(probes)
-        counts = jnp.where(active[:, None], counts, 0)
-        n_probe = n_probe + jnp.where(active, probes.shape[1], 0)
-        n_nonempty = n_nonempty + jnp.sum((counts > 0).astype(jnp.int32), -1)
+        pref = (my_sub >> jnp.uint32(shift))[:, None] ^ masks[None, :]
+        p = se[tt][pref.astype(jnp.int32)]
+        # clamp the global range to this shard's contiguous row slice —
+        # the piecewise bucket return (Pilaf/dht.h:618-620 key split)
+        ls = jnp.clip(p[..., 0] - row0, 0, n_loc)
+        le = jnp.clip(p[..., 1] - row0, 0, n_loc)
+        counts = jnp.where(active[:, None], le - ls, 0)
+        # stats are per-(query, table): count them on shard 0 only
+        on_s0 = (s0 == 0)
+        n_probe = n_probe + jnp.where(
+            active & on_s0, pref.shape[1], 0).astype(jnp.int32)
+        n_nonempty = n_nonempty + jnp.where(
+            on_s0, jnp.sum((counts > 0).astype(jnp.int32), -1), 0)
 
-        entry, valid, total = expand_buckets(starts, counts, cap)
-        entry_c = jnp.clip(entry, 0, nl - 1)
-        cid = entry_ids[tt][entry_c]                         # [Ql, cap]
-        ccodes = entry_codes[tt][entry_c]                    # [Ql, cap, W]
-        dist = codes_lib.hamming_distance(ccodes, queries[:, None, :])
-        all_d.append(jnp.where(valid, dist, topk.INF_DIST))
-        all_i.append(jnp.where(valid, cid, topk.INVALID_ID))
-        total_c = total_c + jnp.minimum(total, cap)
-        overflow_l = overflow_l | (total > cap)
+        blk_id, lo, hi, _nch, ovf = chunks_lib.chunk_descriptors(
+            ls, counts, blk=blk, chb=chb, n_blocks=nbl)
+        d, i = chunks_lib.fetch_score_blocks(
+            entry_rows[tt], blk_id, lo, hi, queries, blk=blk)
+        all_d.append(d)
+        all_i.append(i)
+        total_c = total_c + jnp.sum(hi - lo, axis=-1)
+        overflow_l = overflow_l | ovf
 
     cd = jnp.concatenate(all_d, axis=-1)
     ci = jnp.concatenate(all_i, axis=-1)
@@ -235,29 +236,29 @@ def _device_radius_step(entry_ids, entry_codes, hash_rows, queries, q_subs,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "radius", "n_tables", "knn", "cap",
-                     "approximate", "s_bits", "n_total"))
-def sharded_radius_step(mesh: Mesh, entry_ids, entry_codes, hash_rows,
-                        queries, q_subs, masks, state: SearchState, *,
-                        radius: int, n_tables: int, knn: int, cap: int,
-                        approximate: bool, s_bits: int, n_total: int
+                     "approximate", "s_bits", "pbits", "n_rows", "n_total"))
+def sharded_radius_step(mesh: Mesh, entry_rows, se, queries, q_subs, masks,
+                        state: SearchState, *, radius: int, n_tables: int,
+                        knn: int, cap: int, approximate: bool, s_bits: int,
+                        pbits: int, n_rows: int, n_total: int
                         ) -> SearchState:
     n_mesh_tables = mesh.shape["table"]
     fn = functools.partial(
         _device_radius_step, radius=radius, n_tables=n_tables,
-        n_mesh_tables=n_mesh_tables, knn=knn, cap=cap,
-        approximate=approximate, s_bits=s_bits, n_total=n_total)
+        n_mesh_tables=n_mesh_tables, n_shards=mesh.shape["shard"], knn=knn,
+        cap=cap, approximate=approximate, s_bits=s_bits, pbits=pbits,
+        n_rows=n_rows, n_total=n_total)
     tspec = "table" if n_mesh_tables > 1 else None
     return jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(P(tspec, "shard"), P(tspec, "shard", None),
-                  P(tspec, "shard", None, None),
+        in_specs=(P(tspec, "shard", None), P(tspec, None, None),
                   P("query", None), P("query", None), P(), P("query")),
         out_specs=SearchState(
             pool_dist=P("query"), pool_id=P("query"), done=P("query"),
             radius=P("query"), overflow=P("query"), n_probes=P("query"),
             n_nonempty=P("query"), n_cands=P("query")),
         check_vma=False,
-    )(entry_ids, entry_codes, hash_rows, queries, q_subs, masks, state)
+    )(entry_rows, se, queries, q_subs, masks, state)
 
 
 # --------------------------------------------------------------------------
@@ -295,8 +296,115 @@ def sharded_linear_search(mesh: Mesh, codes_arr, queries, k: int,
 
 
 # --------------------------------------------------------------------------
-# Host driver
+# Fused one-dispatch driver: the whole schedule under one shard_map
 # --------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "schedule", "caps", "batch_caps", "n_tables",
+                     "knn", "pool_size", "approximate", "s_bits", "pbits",
+                     "n_rows", "n_total", "retry_caps", "retry_budget",
+                     "scan_budget"))
+def sharded_fused_packed(mesh: Mesh, entry_rows, se, codes_arr, queries,
+                         masks_tuple, *, schedule, caps, batch_caps,
+                         n_tables, knn, pool_size, approximate, s_bits,
+                         pbits, n_rows, n_total, retry_caps=None,
+                         retry_budget=0, scan_budget=0) -> jax.Array:
+    """Multi-chip fused pipeline: schedule + retry + scan stages in ONE
+    shard_map dispatch; per-device query compaction; result packed as the
+    single int32 array of fused_pipeline_packed. The reference's lockstep
+    loop pays its per-radius barrier inside MPI (search_worker.cc:170-207);
+    a host-driven loop over shard_map steps pays a host sync per radius —
+    this driver pays one per batch."""
+    n_mesh_tables = mesh.shape["table"]
+    n_shards = mesh.shape["shard"]
+    n_loc_codes = codes_arr.shape[0] // (n_mesh_tables * n_shards)
+
+    def device_program(entry_rows, se, codes_loc, queries):
+        q_subs = codes_lib.all_substrings(queries, n_tables)
+        state0 = init_state(queries.shape[0], pool_size)
+
+        def step_fn(i, r, cap, cq, cqs, cs):
+            return _device_radius_step(
+                entry_rows, se, cq, cqs, masks_tuple[i], cs, radius=r,
+                n_tables=n_tables, n_mesh_tables=n_mesh_tables,
+                n_shards=n_shards, knn=knn, cap=cap,
+                approximate=approximate, s_bits=s_bits, pbits=pbits,
+                n_rows=n_rows, n_total=n_total)
+
+        def scan_fn(sq):
+            return _device_linear(codes_loc, sq, knn, n_loc_codes, n_total)
+
+        full, covf = run_pipeline(
+            step_fn, scan_fn, queries, q_subs, state0, schedule=schedule,
+            caps=caps, batch_caps=batch_caps, knn=knn, pool_size=pool_size,
+            retry_caps=retry_caps, retry_budget=retry_budget,
+            scan_budget=scan_budget)
+        nq = queries.shape[0]
+        cols = jnp.stack([full.done.astype(jnp.int32), full.radius,
+                          full.overflow.astype(jnp.int32), full.n_probes,
+                          full.n_nonempty, full.n_cands,
+                          jnp.broadcast_to(covf.astype(jnp.int32), (nq,))],
+                         axis=1)
+        return jnp.concatenate([full.pool_dist, full.pool_id, cols], axis=1)
+
+    tspec = "table" if n_mesh_tables > 1 else None
+    return jax.shard_map(
+        device_program, mesh=mesh,
+        in_specs=(P(tspec, "shard", None), P(tspec, None, None),
+                  P(("table", "shard"), None), P("query", None)),
+        out_specs=P("query", None),
+        check_vma=False,
+    )(entry_rows, se, codes_arr, queries)
+
+
+# --------------------------------------------------------------------------
+# Host drivers
+# --------------------------------------------------------------------------
+
+def _sharded_schedule(index: ShardedMIHIndex, scfg: SearchConfig):
+    cfg = index.cfg
+    schedule = tuple(
+        (r, g)
+        for r, g in _radius_schedule(scfg, cfg, index.n, index.pbits, True)
+        if sum(enumeration.n_masks(index.pbits, x) for x in g)
+        <= scfg.fused_max_masks)
+    return schedule
+
+
+def _sharded_fused_search(index: ShardedMIHIndex, queries,
+                          scfg: SearchConfig, _cap: Optional[int]
+                          ) -> Optional[np.ndarray]:
+    cfg = index.cfg
+    mesh = index.mesh
+    nq = queries.shape[0]
+    pool_size = scfg.pool_size
+    schedule = _sharded_schedule(index, scfg)
+    if not schedule:
+        return None
+    caps = tuple(_cap or _cap_for_radius(scfg, cfg, index.n, g, pool_size,
+                                         index.pbits, True)
+                 for _, g in schedule)
+    nq_loc = nq // mesh.shape["query"]
+    batch_caps = tuple(
+        nq_loc if i == 0 else max(64, nq_loc >> (3 + 2 * (i - 1)))
+        for i in range(len(schedule)))
+    masks_tuple = tuple(_device_masks(index.pbits, g) for _, g in schedule)
+    retry_caps = tuple(min(c * 4, max(scfg.candidate_cap, c)) for c in caps)
+    packed = sharded_fused_packed(
+        mesh, index.entry_rows, index.se, index.codes, queries, masks_tuple,
+        schedule=schedule, caps=caps, batch_caps=batch_caps,
+        n_tables=cfg.n_tables, knn=scfg.knn, pool_size=pool_size,
+        approximate=scfg.approximate, s_bits=cfg.s_bits, pbits=index.pbits,
+        n_rows=index.n_rows, n_total=index.n,
+        retry_caps=retry_caps if retry_caps != caps else None,
+        retry_budget=min(nq_loc, max(64, nq_loc // 4)),
+        scan_budget=min(nq_loc, max(64, nq_loc // 64)))
+    host = jax.device_get(packed)
+    if (host[:, -1] != 0).any():
+        return None
+    return host
+
 
 def sharded_mih_search(index: ShardedMIHIndex, queries,
                        scfg: SearchConfig = SearchConfig(),
@@ -310,35 +418,47 @@ def sharded_mih_search(index: ShardedMIHIndex, queries,
         raise ValueError(f"query batch {nq} not divisible by query axis "
                          f"{mesh.shape['query']}")
     k, pool_size = scfg.knn, scfg.pool_size
-    qsh = NamedSharding(mesh, P("query", None))
-    queries = jax.device_put(queries, qsh)
-    q_subs = jax.device_put(
-        codes_lib.all_substrings(queries, cfg.n_tables), qsh)
-    state = jax.device_put(init_state(nq, pool_size),
-                           NamedSharding(mesh, P("query")))
-    max_r = min(scfg.max_enum_radius, cfg.s_bits)
 
-    for r in range(max_r + 1):
-        if (r > 0 and enumeration.n_masks(cfg.s_bits, r) * cfg.n_tables
-                > scfg.fallback_ratio * max(index.n, 1)):
-            break
-        from verticut_tpu.search.single import _cap_for_radius
-        cap = _cap or _cap_for_radius(scfg, cfg, index.n, r, pool_size)
-        masks = jnp.asarray(enumeration.flip_masks(cfg.s_bits, r))
-        state = sharded_radius_step(
-            mesh, index.entry_ids, index.entry_codes, index.hash_rows,
-            queries, q_subs, masks, state, radius=r,
-            n_tables=cfg.n_tables, knn=k, cap=cap,
-            approximate=scfg.approximate, s_bits=cfg.s_bits,
-            n_total=index.n)
-        if bool(jnp.all(state.done)):
-            break
-
-    dists = np.array(state.pool_dist[:, :k])
-    ids = np.array(state.pool_id[:, :k])
-    radius = np.array(state.radius)
-    overflow = np.asarray(state.overflow)
-    not_done = ~np.asarray(state.done)
+    host = None
+    if scfg.fused:
+        host = _sharded_fused_search(index, queries, scfg, _cap)
+    if host is not None:
+        pd, pi = host[:, :pool_size], host[:, pool_size:2 * pool_size]
+        cols = host[:, 2 * pool_size:]
+        dists = pd[:, :k].copy()
+        ids = pi[:, :k].copy()
+        radius = cols[:, 1].copy()
+        overflow = cols[:, 2] != 0
+        not_done = cols[:, 0] == 0
+        n_probes, n_nonempty, n_cands = cols[:, 3], cols[:, 4], cols[:, 5]
+    else:
+        # adaptive per-radius host loop (also the compact_ovf fallback)
+        qsh = NamedSharding(mesh, P("query", None))
+        queries_d = jax.device_put(queries, qsh)
+        q_subs = jax.device_put(
+            codes_lib.all_substrings(queries_d, cfg.n_tables), qsh)
+        state = jax.device_put(init_state(nq, pool_size),
+                               NamedSharding(mesh, P("query")))
+        for r, group in _radius_schedule(scfg, cfg, index.n, index.pbits,
+                                         True):
+            cap = _cap or _cap_for_radius(scfg, cfg, index.n, group,
+                                          pool_size, index.pbits, True)
+            masks = _device_masks(index.pbits, group)
+            state = sharded_radius_step(
+                mesh, index.entry_rows, index.se, queries_d, q_subs, masks,
+                state, radius=r, n_tables=cfg.n_tables, knn=k, cap=cap,
+                approximate=scfg.approximate, s_bits=cfg.s_bits,
+                pbits=index.pbits, n_rows=index.n_rows, n_total=index.n)
+            if bool(jnp.all(state.done)):
+                break
+        dists = np.array(state.pool_dist[:, :k])
+        ids = np.array(state.pool_id[:, :k])
+        radius = np.array(state.radius)
+        overflow = np.asarray(state.overflow)
+        not_done = ~np.asarray(state.done)
+        n_probes = np.asarray(state.n_probes)
+        n_nonempty = np.asarray(state.n_nonempty)
+        n_cands = np.asarray(state.n_cands)
 
     redo = overflow & ~not_done
     base_cap = _cap or scfg.candidate_cap
@@ -358,11 +478,11 @@ def sharded_mih_search(index: ShardedMIHIndex, queries,
         idxs = np.nonzero(not_done)[0]
         # keep the query-axis batch shape: scan all, take stragglers
         ld, li = sharded_linear_search(mesh, index.codes, queries, k,
-                                       n_total=index.n)
+                                      n_total=index.n)
         dists[idxs] = np.asarray(ld)[idxs]
         ids[idxs] = np.asarray(li)[idxs]
 
     return SearchResult(dists=dists, ids=ids, radius=radius,
-                        n_probes=np.asarray(state.n_probes),
-                        n_nonempty=np.asarray(state.n_nonempty),
-                        n_cands=np.asarray(state.n_cands))
+                        n_probes=np.asarray(n_probes),
+                        n_nonempty=np.asarray(n_nonempty),
+                        n_cands=np.asarray(n_cands))

@@ -321,11 +321,11 @@ def _scatter_rows(full: SearchState, orig: jax.Array,
     jax.jit,
     static_argnames=("schedule", "caps", "batch_caps", "n_tables", "knn",
                      "pool_size", "approximate", "use_bitmap", "s_bits",
-                     "retry_caps", "retry_budget"))
+                     "retry_caps", "retry_budget", "scan_budget"))
 def fused_pipeline(tables, all_codes, queries, q_subs, masks_tuple,
                    state0: SearchState, *, schedule, caps, batch_caps,
                    n_tables, knn, pool_size, approximate, use_bitmap,
-                   s_bits, retry_caps=None, retry_budget=0):
+                   s_bits, retry_caps=None, retry_budget=0, scan_budget=0):
     """The whole radius schedule as ONE device program.
 
     The loop driver costs one host round-trip per radius (the done-check)
@@ -344,50 +344,100 @@ def fused_pipeline(tables, all_codes, queries, q_subs, masks_tuple,
     dispatch + sync round trip per retry (~100+ ms on this rig for what is
     ~10 ms of compute at typical overflow rates). Stages lax.cond-skip when
     nothing overflowed.
+
+    ``scan_budget``: optional device-side brute-force stage — queries still
+    unfinished after the schedule (deep-radius stragglers) are compacted
+    and resolved with the exact MXU/popcount scan inside the same program,
+    replacing both the deep enumeration radii (C(p, r) probe cost) and the
+    host linear-fallback round trip.
     """
+    def step_fn(i, r, cap, cq, cqs, cs):
+        return radius_step(
+            tables, all_codes, cq, cqs, masks_tuple[i], cs,
+            radius=r, n_tables=n_tables, knn=knn, pool_size=pool_size,
+            cap=cap, approximate=approximate, use_bitmap=use_bitmap,
+            s_bits=s_bits)
+
+    scan_fn = None
+    if all_codes is not None:
+        from verticut_tpu.ops import hamming
+
+        def scan_fn(sq):
+            # MXU formulation: the straggler batch is small but the DB
+            # side is the whole corpus — compute-bound on the GEMM
+            return hamming.scan_matmul(sq, all_codes, knn)
+
+    return run_pipeline(step_fn, scan_fn, queries, q_subs, state0,
+                        schedule=schedule, caps=caps, batch_caps=batch_caps,
+                        knn=knn, pool_size=pool_size, retry_caps=retry_caps,
+                        retry_budget=retry_budget, scan_budget=scan_budget)
+
+
+def run_pipeline(step_fn, scan_fn, queries, q_subs, state0: SearchState, *,
+                 schedule, caps, batch_caps, knn, pool_size,
+                 retry_caps=None, retry_budget=0, scan_budget=0):
+    """Generic staged pipeline: schedule stages with device compaction, a
+    device-side overflow retry pass, and a device-side brute-force scan
+    stage. ``step_fn(i, radius, cap, queries, q_subs, state) -> state`` is
+    one radius step (single-device or shard_map-local with collectives);
+    ``scan_fn(queries) -> (dists [B, knn], ids [B, knn])`` is the exact
+    scan. Shared by the single-device and sharded fused drivers."""
     nq = queries.shape[0]
-    full = state0
-    orig = jnp.arange(nq, dtype=jnp.int32)
-    cur_q, cur_qs, cur_state = queries, q_subs, state0
-    compact_ovf = jnp.zeros((), jnp.bool_)
 
-    for i, (r, _group) in enumerate(schedule):
-        # runtime stage skip: late radii have huge mask sets but usually no
-        # active queries left; lax.cond executes only the taken branch
-        def _run(args):
-            cq, cqs, cs, fl, og = args
-            cs = radius_step(
-                tables, all_codes, cq, cqs, masks_tuple[i], cs,
-                radius=r, n_tables=n_tables, knn=knn, pool_size=pool_size,
-                cap=caps[i], approximate=approximate, use_bitmap=use_bitmap,
-                s_bits=s_bits)
-            return cs, _scatter_rows(fl, og, cs)
+    def staged(queries_b, q_subs_b, state_b, stage_caps, stage_batch_caps):
+        """Run the schedule with device compaction over one query batch.
+        Returns (full-batch state, compaction-budget-overflow flag)."""
+        nb0 = queries_b.shape[0]
+        full = state_b
+        orig = jnp.arange(nb0, dtype=jnp.int32)
+        cur_q, cur_qs, cur_state = queries_b, q_subs_b, state_b
+        ovf = jnp.zeros((), jnp.bool_)
 
-        def _skip(args):
-            _cq, _cqs, cs, fl, _og = args
-            return cs, fl
+        for i, (r, _group) in enumerate(schedule):
+            # runtime stage skip: late radii have huge mask sets but
+            # usually no active queries left; lax.cond executes only the
+            # taken branch. (Under shard_map the predicate is uniform
+            # within each (table, shard) collective group — every member
+            # holds the same query slice — so branches cannot diverge
+            # across a collective.)
+            def _run(args, i=i, r=r):
+                cq, cqs, cs, fl, og = args
+                cs = step_fn(i, r, stage_caps[i], cq, cqs, cs)
+                return cs, _scatter_rows(fl, og, cs)
 
-        cur_state, full = jax.lax.cond(
-            jnp.all(cur_state.done), _skip, _run,
-            (cur_q, cur_qs, cur_state, full, orig))
-        if i + 1 < len(schedule):
-            nb = batch_caps[i + 1]
-            if nb < cur_q.shape[0]:
-                done_key = cur_state.done.astype(jnp.int32)
-                n_active = jnp.sum(1 - done_key)
-                compact_ovf = compact_ovf | (n_active > nb)
-                _, perm = jax.lax.sort(
-                    (done_key, jnp.arange(cur_q.shape[0], dtype=jnp.int32)),
-                    num_keys=2)
-                sel = perm[:nb]
-                cur_q = cur_q[sel]
-                cur_qs = cur_qs[sel]
-                cur_state = SearchState(*(leaf[sel] for leaf in cur_state))
-                orig = orig[sel]
+            def _skip(args):
+                _cq, _cqs, cs, fl, _og = args
+                return cs, fl
+
+            cur_state, full = jax.lax.cond(
+                jnp.all(cur_state.done), _skip, _run,
+                (cur_q, cur_qs, cur_state, full, orig))
+            if i + 1 < len(schedule):
+                nb = stage_batch_caps[i + 1]
+                if nb < cur_q.shape[0]:
+                    done_key = cur_state.done.astype(jnp.int32)
+                    n_active = jnp.sum(1 - done_key)
+                    ovf = ovf | (n_active > nb)
+                    _, perm = jax.lax.sort(
+                        (done_key,
+                         jnp.arange(cur_q.shape[0], dtype=jnp.int32)),
+                        num_keys=2)
+                    sel = perm[:nb]
+                    cur_q = cur_q[sel]
+                    cur_qs = cur_qs[sel]
+                    cur_state = SearchState(*(leaf[sel]
+                                              for leaf in cur_state))
+                    orig = orig[sel]
+        return full, ovf
+
+    full, compact_ovf = staged(queries, q_subs, state0, caps, batch_caps)
 
     if retry_caps:
         # Compact the overflowed-but-finished rows (unfinished ones hit the
-        # exact linear fallback regardless) and re-run the schedule on them.
+        # exact linear fallback regardless) and re-run the schedule on them
+        # — with its own shrinking stage batches: a handful of retried
+        # queries needing radius 2+ must not drag the whole retry budget
+        # through the deep stages.
         flag = full.overflow & full.done
         idx = jnp.arange(nq, dtype=jnp.int32)
         _, perm = jax.lax.sort(((~flag).astype(jnp.int32), idx), num_keys=2)
@@ -398,16 +448,12 @@ def fused_pipeline(tables, all_codes, queries, q_subs, masks_tuple,
         rqs = q_subs[sel]
         flag_sel = flag[sel]
         rstate = init_state(retry_budget, pool_size)._replace(done=~flag_sel)
-        for i, (r, _group) in enumerate(schedule):
-            def _rrun(cs, i=i, r=r):
-                return radius_step(
-                    tables, all_codes, rq, rqs, masks_tuple[i], cs,
-                    radius=r, n_tables=n_tables, knn=knn,
-                    pool_size=pool_size, cap=retry_caps[i],
-                    approximate=approximate, use_bitmap=use_bitmap,
-                    s_bits=s_bits)
-            rstate = jax.lax.cond(jnp.all(rstate.done),
-                                  lambda cs: cs, _rrun, rstate)
+        retry_bc = tuple(
+            retry_budget if i == 0
+            else max(64, retry_budget >> (3 + 2 * (i - 1)))
+            for i in range(len(schedule)))
+        rfull, rovf = staged(rq, rqs, rstate, retry_caps, retry_bc)
+        compact_ovf = compact_ovf | rovf
 
         def _blend(f, c):
             m = flag_sel.reshape((-1,) + (1,) * (c.ndim - 1))
@@ -416,11 +462,52 @@ def fused_pipeline(tables, all_codes, queries, q_subs, masks_tuple,
         # pools/flags come from the re-run; read-amplification stats keep
         # the first run's counts (matching the host retry path's semantics)
         full = full._replace(
-            pool_dist=_blend(full.pool_dist, rstate.pool_dist),
-            pool_id=_blend(full.pool_id, rstate.pool_id),
-            done=_blend(full.done, rstate.done),
-            radius=_blend(full.radius, rstate.radius),
-            overflow=_blend(full.overflow, rstate.overflow))
+            pool_dist=_blend(full.pool_dist, rfull.pool_dist),
+            pool_id=_blend(full.pool_id, rfull.pool_id),
+            done=_blend(full.done, rfull.done),
+            radius=_blend(full.radius, rfull.radius),
+            overflow=_blend(full.overflow, rfull.overflow))
+
+    if scan_budget and scan_fn is not None:
+        flag = ~full.done
+        idx = jnp.arange(nq, dtype=jnp.int32)
+        _, perm = jax.lax.sort((full.done.astype(jnp.int32), idx),
+                               num_keys=2)
+        # More stragglers than the budget is NOT a failure: the excess
+        # stay not-done and the host linear fallback scans them (one
+        # extra round trip; uniform-random workloads where enumeration
+        # can't finish take that path wholesale).
+        sel = perm[:scan_budget]
+        n_sc = jnp.sum(flag.astype(jnp.int32))
+        flag_sel = flag[sel]
+        sq = queries[sel]
+
+        def _scan(sq):
+            d, i = scan_fn(sq)
+            if pool_size > knn:
+                d = jnp.pad(d, ((0, 0), (0, pool_size - knn)),
+                            constant_values=int(topk.INF_DIST))
+                i = jnp.pad(i, ((0, 0), (0, pool_size - knn)),
+                            constant_values=-1)
+            return d, i
+
+        def _noscan(sq):
+            return (jnp.full((scan_budget, pool_size), topk.INF_DIST,
+                             jnp.int32),
+                    jnp.full((scan_budget, pool_size), topk.INVALID_ID,
+                             jnp.int32))
+
+        spd, spi = jax.lax.cond(n_sc > 0, _scan, _noscan, sq)
+
+        def _sblend(f, c):
+            m = flag_sel.reshape((-1,) + (1,) * (c.ndim - 1))
+            return f.at[sel].set(jnp.where(m, c, f[sel]))
+
+        full = full._replace(
+            pool_dist=_sblend(full.pool_dist, spd),
+            pool_id=_sblend(full.pool_id, spi),
+            done=_sblend(full.done, jnp.ones_like(flag_sel)),
+            overflow=_sblend(full.overflow, jnp.zeros_like(flag_sel)))
     return full, compact_ovf
 
 
@@ -428,7 +515,7 @@ def fused_pipeline(tables, all_codes, queries, q_subs, masks_tuple,
     jax.jit,
     static_argnames=("schedule", "caps", "batch_caps", "n_tables", "knn",
                      "pool_size", "approximate", "use_bitmap", "s_bits",
-                     "retry_caps", "retry_budget"))
+                     "retry_caps", "retry_budget", "scan_budget"))
 def fused_pipeline_packed(tables, all_codes, queries, masks_tuple, *,
                           n_tables, pool_size, **kw) -> jax.Array:
     """fused_pipeline as ONE dispatch end-to-end, result flattened into ONE
@@ -509,17 +596,39 @@ def _radius_schedule(scfg: SearchConfig, cfg: MIHConfig, n: int,
     return tuple(out)
 
 
-def _mih_search_fused(index: MIHIndex, queries, tables,
-                      scfg: SearchConfig,
-                      _cap: Optional[int]) -> Optional[SearchResult]:
-    """Single-dispatch fused search; returns None if a stage budget was
-    exceeded (caller falls back to the adaptive loop)."""
+class FusedHandle(NamedTuple):
+    """In-flight fused search: the device result + finalize context."""
+
+    packed: jax.Array      # int32[Q, 2P+7] (see fused_pipeline_packed)
+    queries: jax.Array
+    index: "MIHIndex"
+    scfg: SearchConfig
+    cap: Optional[int]
+
+
+def mih_search_dispatch(index: MIHIndex, queries,
+                        scfg: SearchConfig = SearchConfig(),
+                        _cap: Optional[int] = None
+                        ) -> Optional[FusedHandle]:
+    """Launch the fused single-dispatch search WITHOUT waiting for it.
+
+    Returns None when the fused driver cannot run this workload (empty
+    schedule / ``scfg.fused`` off). Pair with :func:`mih_search_finalize`;
+    keeping 2+ handles in flight overlaps the device work of one batch
+    with the host sync of another — on a remote-relay rig the sync round
+    trip (~50-90 ms) otherwise dominates the search itself. This is the
+    TPU analog of the reference's in-flight request window
+    (``src/image_search_server.cc`` serving loop).
+    """
+    if not scfg.fused:
+        return None
     cfg = index.cfg
+    queries = jnp.asarray(queries, jnp.uint32)
     nq = queries.shape[0]
+    tables = tuple(index.tables)
     k, pool_size = scfg.knn, scfg.pool_size
     mask_bits = _index_mask_bits(index)
-    is_range = mask_bits != cfg.s_bits or isinstance(
-        index.tables[0].directory, dir_lib.RangeDirectory)
+    is_range = isinstance(index.tables[0].directory, dir_lib.RangeDirectory)
     schedule = tuple(
         (r, g)
         for r, g in _radius_schedule(scfg, cfg, index.n, mask_bits, is_range)
@@ -544,9 +653,21 @@ def _mih_search_fused(index: MIHIndex, queries, tables,
         approximate=scfg.approximate, use_bitmap=scfg.use_bitmap,
         s_bits=cfg.s_bits,
         retry_caps=retry_caps if retry_caps != caps else None,
-        retry_budget=min(nq, max(64, nq // 4)))
-    host = jax.device_get(packed)  # the single sync, one transfer
-    if host[0, -1]:  # covf (replicated per row)
+        retry_budget=min(nq, max(64, nq // 4)),
+        scan_budget=min(nq, max(64, nq // 64)) if index.codes is not None
+        else 0)
+    return FusedHandle(packed=packed, queries=queries, index=index,
+                       scfg=scfg, cap=_cap)
+
+
+def mih_search_finalize(h: FusedHandle) -> Optional[SearchResult]:
+    """Wait for a dispatched fused search and apply host-side fallbacks.
+
+    Returns None if a fused stage budget overflowed (caller must re-run
+    via the adaptive loop — ``mih_search`` does this automatically)."""
+    scfg, k, pool_size = h.scfg, h.scfg.knn, h.scfg.pool_size
+    host = jax.device_get(h.packed)  # the single sync, one transfer
+    if (host[:, -1] != 0).any():  # covf (per query-shard under shard_map)
         return None
     pd, pi = host[:, :pool_size], host[:, pool_size:2 * pool_size]
     cols = host[:, 2 * pool_size:]
@@ -556,9 +677,21 @@ def _mih_search_fused(index: MIHIndex, queries, tables,
     ids = pi[:, :k].copy()
     radius = radius.copy()
     not_done = ~done
-    return _apply_fallbacks(index, queries, scfg, _cap, k, dists, ids,
+    return _apply_fallbacks(h.index, h.queries, scfg, h.cap, k, dists, ids,
                             radius, overflow, not_done, n_probes,
                             n_nonempty, n_cands)
+
+
+def _mih_search_fused(index: MIHIndex, queries, tables,
+                      scfg: SearchConfig,
+                      _cap: Optional[int]) -> Optional[SearchResult]:
+    """Single-dispatch fused search; returns None if a stage budget was
+    exceeded (caller falls back to the adaptive loop)."""
+    del tables  # handled inside dispatch
+    h = mih_search_dispatch(index, queries, scfg, _cap)
+    if h is None:
+        return None
+    return mih_search_finalize(h)
 
 
 def _apply_fallbacks(index, queries, scfg, _cap, k, dists, ids, radius,
