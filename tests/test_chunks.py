@@ -160,3 +160,28 @@ def test_range_native_build_matches_device_build():
     r2 = mih_search(i2, queries, scfg)
     assert np.array_equal(r1.dists, r2.dists)
     assert np.array_equal(r1.ids, r2.ids)
+
+
+def test_range_engine_compact_mode():
+    """Compact mode (ids-only blocks + shared code array) must be exact
+    and match the inline-rows engine bit for bit."""
+    from verticut_tpu.index.build_native import build_index_native
+    cfg = MIHConfig(bits=128, n_tables=4)
+    packed = codes.clustered_codes(21, 3000, cfg.bits, n_clusters=12,
+                                   flip_p=0.03)
+    queries = packed[:64]
+    scfg = SearchConfig(knn=10)
+    for builder in (lambda: build_index(jnp.asarray(packed), cfg,
+                                        directory="range",
+                                        store_codes=False),
+                    lambda: build_index_native(packed, cfg,
+                                               directory="range",
+                                               store_codes=False,
+                                               keep_entry_ids=False)):
+        idx = builder()
+        assert idx.tables[0].entry_rows is None
+        assert idx.tables[0].entry_idrows is not None
+        res = mih_search(idx, queries, scfg)
+        ld, _ = linear_search(queries, packed, scfg.knn)
+        assert np.array_equal(np.sort(res.dists, -1),
+                              np.sort(np.asarray(ld), -1))

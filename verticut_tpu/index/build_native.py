@@ -47,10 +47,21 @@ def _host_entry_rows(ids: np.ndarray, codes_arr: np.ndarray) -> np.ndarray:
     ).reshape(npad // blk, blk * rw)
 
 
+def _host_entry_idrows(ids: np.ndarray) -> np.ndarray:
+    """Blocked id-only rows (compact mode; mih.MIHTable.entry_idrows)."""
+    from verticut_tpu.index.mih import ID_ROW_BLOCK
+    n = len(ids)
+    npad = -(-max(n, 1) // ENTRY_ROW_ALIGN) * ENTRY_ROW_ALIGN
+    out = np.full(npad, 0xFFFFFFFF, np.uint32)
+    out[:n] = ids.astype(np.uint32)
+    return out.reshape(npad // ID_ROW_BLOCK, ID_ROW_BLOCK)
+
+
 def build_index_native(codes_arr: np.ndarray, cfg: MIHConfig = MIHConfig(),
                        dense_threshold: int = 24, store_codes: bool = True,
                        with_bitmap: bool = False, keep_codes: bool = True,
-                       directory: str = "auto") -> MIHIndex:
+                       directory: str = "auto",
+                       keep_entry_ids: bool = True) -> MIHIndex:
     codes_arr = np.ascontiguousarray(codes_arr, np.uint32)
     n = codes_arr.shape[0]
     if codes_arr.shape[-1] != cfg.n_words:
@@ -59,10 +70,13 @@ def build_index_native(codes_arr: np.ndarray, cfg: MIHConfig = MIHConfig(),
             f"{cfg.n_words}")
     if directory == "auto":
         directory = "dense" if cfg.s_bits <= dense_threshold else "range"
+    if directory == "range" and not store_codes and not keep_codes:
+        raise ValueError("compact range mode needs the shared code array "
+                         "(keep_codes=True) to score candidates")
     tables = []
     for t in range(cfg.n_tables):
         keys, ids = native.build_csr(codes_arr, t, cfg.s_bits)
-        entry_codes = entry_rows = None
+        entry_codes = entry_rows = entry_idrows = None
         if directory == "dense":
             d = dir_lib.build_dense(jnp.asarray(keys), cfg.s_bits)
         elif directory == "range":
@@ -72,15 +86,18 @@ def build_index_native(codes_arr: np.ndarray, cfg: MIHConfig = MIHConfig(),
                 rows=jnp.asarray(native.build_hashdir(keys)))
         else:
             raise ValueError(f"unknown directory kind {directory!r}")
-        if store_codes:
-            if directory == "range":
+        if directory == "range":
+            if store_codes:
                 entry_rows = jnp.asarray(_host_entry_rows(ids, codes_arr))
             else:
-                entry_codes = jnp.asarray(native.gather_rows(codes_arr, ids))
+                entry_idrows = jnp.asarray(_host_entry_idrows(ids))
+        elif store_codes:
+            entry_codes = jnp.asarray(native.gather_rows(codes_arr, ids))
         bmp = (Bitmap(words=jnp.asarray(native.build_bitmap(keys, cfg.s_bits)))
                if with_bitmap else None)
-        tables.append(MIHTable(entry_ids=jnp.asarray(ids),
-                               entry_codes=entry_codes, directory=d,
-                               bitmap=bmp, entry_rows=entry_rows))
+        tables.append(MIHTable(
+            entry_ids=jnp.asarray(ids) if keep_entry_ids else None,
+            entry_codes=entry_codes, directory=d, bitmap=bmp,
+            entry_rows=entry_rows, entry_idrows=entry_idrows))
     return MIHIndex(cfg=cfg, tables=tables, n=n,
                     codes=jnp.asarray(codes_arr) if keep_codes else None)

@@ -33,7 +33,9 @@ from verticut_tpu.index.bitmap import Bitmap, build_bitmap
 class MIHTable(NamedTuple):
     """One substring hash table (the per-MPI-rank table of the reference)."""
 
-    entry_ids: jax.Array              # int32[N] — ids in bucket order
+    # int32[N] ids in bucket order; None only for memory-tight blocked
+    # builds (the ids then live in entry_rows / entry_idrows)
+    entry_ids: Optional[jax.Array]
     entry_codes: Optional[jax.Array]  # uint32[N, W] full codes, or None
     directory: dir_lib.Directory
     bitmap: Optional[Bitmap]
@@ -46,10 +48,31 @@ class MIHTable(NamedTuple):
     # static lane slices and the whole score pipeline is lane-parallel
     # (ops/chunks.fetch_score_blocks).
     entry_rows: Optional[jax.Array] = None
+    # Compact-mode variant: blocked id-only rows uint32[NBc, 32] (32 ids
+    # per 128 B gather row; pad ids 0xFFFFFFFF). Candidate codes are then
+    # gathered per-id from the shared id-ordered code array — 4 B/entry
+    # per table instead of 32 B, at ~30 ns per candidate code gather
+    # (the 100M-1B memory/speed tradeoff, DESIGN.md §3).
+    entry_idrows: Optional[jax.Array] = None
 
     @property
     def n_entries(self) -> int:
-        return self.entry_ids.shape[0]
+        if self.entry_ids is not None:
+            return self.entry_ids.shape[0]
+        # entry_ids dropped (memory-tight compact build): padded count
+        return self.entry_idrows.shape[0] * self.entry_idrows.shape[1]
+
+
+ID_ROW_BLOCK = 32  # ids per compact-mode gather row (128 B)
+
+
+def make_entry_idrows(sorted_ids: jax.Array) -> jax.Array:
+    """Blocked id-only rows (compact mode; see MIHTable.entry_idrows)."""
+    n = sorted_ids.shape[0]
+    npad = -(-max(n, 1) // ENTRY_ROW_ALIGN) * ENTRY_ROW_ALIGN
+    ids = jnp.full((npad,), jnp.uint32(0xFFFFFFFF))
+    ids = ids.at[:n].set(sorted_ids.astype(jnp.uint32))
+    return ids.reshape(npad // ID_ROW_BLOCK, ID_ROW_BLOCK)
 
 
 ENTRY_ROW_ALIGN = 128  # lcm of all block sizes (128 // row_width >= 8)
@@ -135,16 +158,18 @@ def _build_table(codes_arr: jax.Array, table_id: int, cfg: MIHConfig,
     # reference's sequential-append order (build_hash_tables.cc:54-63).
     sorted_subs, sorted_ids = jax.lax.sort((subs, ids), num_keys=2)
     d = _make_directory(sorted_subs, cfg, dense_threshold, directory)
-    entry_codes = entry_rows = None
-    if store_codes:
-        sorted_codes = codes_arr[sorted_ids]
-        if isinstance(d, dir_lib.RangeDirectory):
-            entry_rows = make_entry_rows(sorted_ids, sorted_codes)
+    entry_codes = entry_rows = entry_idrows = None
+    if isinstance(d, dir_lib.RangeDirectory):
+        if store_codes:
+            entry_rows = make_entry_rows(sorted_ids, codes_arr[sorted_ids])
         else:
-            entry_codes = sorted_codes
+            entry_idrows = make_entry_idrows(sorted_ids)
+    elif store_codes:
+        entry_codes = codes_arr[sorted_ids]
     bmp = build_bitmap(sorted_subs, cfg.s_bits) if with_bitmap else None
     return MIHTable(entry_ids=sorted_ids, entry_codes=entry_codes,
-                    directory=d, bitmap=bmp, entry_rows=entry_rows)
+                    directory=d, bitmap=bmp, entry_rows=entry_rows,
+                    entry_idrows=entry_idrows)
 
 
 def build_index(codes_arr, cfg: MIHConfig = MIHConfig(),
@@ -186,11 +211,14 @@ def save_index(path: str, index: MIHIndex) -> None:
     if codes_host is not None:
         arrs["codes"] = np.asarray(codes_host)
     for t, tab in enumerate(tables):
-        arrs[f"t{t}_ids"] = np.asarray(tab.entry_ids)
+        if tab.entry_ids is not None:
+            arrs[f"t{t}_ids"] = np.asarray(tab.entry_ids)
         if tab.entry_codes is not None:
             arrs[f"t{t}_codes"] = np.asarray(tab.entry_codes)
         if tab.entry_rows is not None:
             arrs[f"t{t}_rows"] = np.asarray(tab.entry_rows)
+        if tab.entry_idrows is not None:
+            arrs[f"t{t}_idrows"] = np.asarray(tab.entry_idrows)
         if isinstance(tab.directory, dir_lib.DenseDirectory):
             arrs[f"t{t}_offsets"] = np.asarray(tab.directory.offsets)
         elif isinstance(tab.directory, dir_lib.HashDirectory):
@@ -222,8 +250,10 @@ def load_index(path: str) -> MIHIndex:
                if f"t{t}_bitmap" in z else None)
         ec = (jnp.asarray(z[f"t{t}_codes"]) if f"t{t}_codes" in z else None)
         er = (jnp.asarray(z[f"t{t}_rows"]) if f"t{t}_rows" in z else None)
-        tables.append(MIHTable(entry_ids=jnp.asarray(z[f"t{t}_ids"]),
-                               entry_codes=ec, directory=d, bitmap=bmp,
-                               entry_rows=er))
+        eir = (jnp.asarray(z[f"t{t}_idrows"]) if f"t{t}_idrows" in z
+               else None)
+        ei = (jnp.asarray(z[f"t{t}_ids"]) if f"t{t}_ids" in z else None)
+        tables.append(MIHTable(entry_ids=ei, entry_codes=ec, directory=d,
+                               bitmap=bmp, entry_rows=er, entry_idrows=eir))
     codes_arr = jnp.asarray(z["codes"]) if "codes" in z else None
     return MIHIndex(cfg=cfg, tables=tables, n=int(z["n"]), codes=codes_arr)

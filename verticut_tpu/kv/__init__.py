@@ -1,2 +1,4 @@
 from verticut_tpu.kv.store import (BucketStore, DHTStore, KVStore,  # noqa: F401
-                                   MemoryKV, ShardedKV, make_store)
+                                   MemoryKV, OpLogKV, ShardedKV, make_store)
+from verticut_tpu.kv.remote import (KVServer, MemcachedKV,  # noqa: F401
+                                    RedisKV)

@@ -210,12 +210,23 @@ class OpLogKV(KVStore):
 
 def make_store(backend: str = "memory", n_shards: int = 1, **kw) -> KVStore:
     """Factory mirroring the reference's --server flag
-    (``src/args_config.cc:8-17``: pilaf|memcached|redis → dht|memory)."""
+    (``src/args_config.cc:8-17``: pilaf|memcached|redis).
+
+    ``redis``/``memcached`` are REAL network connectors (kv/remote.py) and
+    need a reachable server (host/port kwargs); ``memory`` is the
+    in-process dict (the CI seam); ``dht`` the native cuckoo store.
+    """
     def one():
-        if backend in ("memory", "memcached", "redis"):
+        if backend == "memory":
             return MemoryKV()
         if backend in ("dht", "pilaf", "native"):
             return DHTStore(**kw)
+        if backend == "redis":
+            from verticut_tpu.kv.remote import RedisKV
+            return RedisKV(**kw)
+        if backend == "memcached":
+            from verticut_tpu.kv.remote import MemcachedKV
+            return MemcachedKV(**kw)
         raise ValueError(f"unknown backend {backend!r}")
     if n_shards == 1:
         return one()

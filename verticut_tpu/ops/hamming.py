@@ -86,6 +86,107 @@ def scan_pallas(queries: jax.Array, db: jax.Array, k: int,
     return pd[:q], pi[:q]
 
 
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "block"))
+def scan_blockmin(queries: jax.Array, db: jax.Array, k: int,
+                  chunk: int = 65536, block: int = 512):
+    """Exact top-k via block-min pre-selection — the TPU-native selection.
+
+    Any per-chunk ``top_k`` over the [Q, N] distance matrix costs a sort
+    of the full width (~50-120 ms per [8192, 32k] slab on v5e); reductions
+    cost ~12 ms. So: reduce first, sort almost nothing.
+
+    1. One MXU GEMM pass computes per-``block`` distance minima
+       ``blk_min int32[Q, N/block]`` (a pure reduction — no wide sort).
+    2. A stable ``top_k`` over blocks picks the k blocks with smallest
+       minima. These provably contain the exact (dist, id)-lexicographic
+       top-k: if winner w (rank <= k) sat in an unchosen block, each of
+       the k chosen blocks would hold an element with smaller blk_min —
+       i.e. strictly smaller distance, or equal distance in an
+       earlier-indexed block and hence smaller id — giving k elements
+       ordered before w, contradicting rank(w) <= k.
+    3. Gather just those k code blocks (k*block*16 B per query), rescore
+       with XOR+popcount, and select over the narrow [Q, k*block] strip.
+
+    Block ids are sorted ascending before the gather so in-strip order is
+    ascending global position, letting the final selection pack
+    (dist, local_pos) into one uint32 key for ANY corpus size.
+    """
+    q, w = queries.shape
+    bits = w * 32
+    if chunk % block:
+        raise ValueError(f"chunk {chunk} not a multiple of block {block}")
+    qpm = codes_lib.unpack_bits_pm1(queries)              # [Q, B]
+    db_p, n = _pad_db(db, chunk)
+    n_pad_rows = db_p.shape[0]
+    n_chunks = n_pad_rows // chunk
+    db_c = db_p.reshape(n_chunks, chunk, w)
+    pos0 = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+
+    def body(_, args):
+        chunk_codes, base = args
+        dpm = codes_lib.unpack_bits_pm1(chunk_codes)
+        dot = jax.lax.dot_general(
+            qpm, dpm, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d = ((bits - dot) * 0.5).astype(jnp.int32)
+        d = jnp.where(pos0 + base < n, d, topk.INF_DIST)  # mask pad rows
+        bm = jnp.min(d.reshape(q, chunk // block, block), axis=-1)
+        return None, bm
+
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    _, bms = jax.lax.scan(body, None, (db_c, bases))      # [C, Q, chunk/b]
+    nb = n_pad_rows // block
+    blk_min = jnp.moveaxis(bms, 0, 1).reshape(q, nb)
+
+    kb = min(k, nb)
+    _, bidx = jax.lax.top_k(-blk_min, kb)                 # stable: ties ->
+    bidx = jnp.sort(bidx, axis=-1)                        # ascending pos
+    blocked = db_p.reshape(nb, block * w)
+    g = blocked[bidx].reshape(q, kb, block, w)            # [Q, kb, b, W]
+    d = jnp.sum(jax.lax.population_count(
+        g ^ queries[:, None, None, :]).astype(jnp.int32), axis=-1)
+    pos = bidx[:, :, None] * block + jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, block), 2)
+    valid = pos < n
+    d = jnp.where(valid, d, topk.INF_DIST).reshape(q, kb * block)
+    pos = pos.reshape(q, kb * block)
+
+    # final selection on the narrow strip; the local index packs under
+    # dist (in-strip order == ascending global position) and the sentinel
+    # 0x7FFFFFFF (int32 max) sorts last, so plain int32 top_k is exact
+    li_bits = max(1, (kb * block - 1).bit_length())
+    li = jax.lax.broadcasted_iota(jnp.int32, (1, kb * block), 1)
+    sent = 0x7FFFFFFF  # dist <= 512 and li_bits <= 19: sign bit stays 0
+    packed = jnp.where(d < topk.INF_DIST, (d << li_bits) | li, sent)
+    width = kb * block
+    while width > 2048:                                   # blockwise shrink
+        blk2 = 512
+        m2 = min(k, blk2)  # exactness: a single block may hold k winners
+        if m2 >= blk2 or k >= width:    # no shrink possible -> flat top_k
+            break
+        if width % blk2:
+            padw = -width % blk2
+            packed = jnp.pad(packed, ((0, 0), (0, padw)),
+                             constant_values=int(sent))
+            width += padw
+        nb2 = width // blk2
+        packed = -jax.lax.top_k(-packed.reshape(q, nb2, blk2), m2)[0] \
+            .reshape(q, nb2 * m2)
+        width = nb2 * m2
+    kk = min(k, width)
+    top = -jax.lax.top_k(-packed, kk)[0]
+    invalid = top == sent
+    sel_li = top & ((1 << li_bits) - 1)
+    out_d = jnp.where(invalid, topk.INF_DIST, top >> li_bits)
+    out_i = jnp.where(invalid, topk.INVALID_ID,
+                      jnp.take_along_axis(pos, jnp.clip(sel_li, 0), axis=-1))
+    if kk < k:
+        out_d = jnp.pad(out_d, ((0, 0), (0, k - kk)),
+                        constant_values=int(topk.INF_DIST))
+        out_i = jnp.pad(out_i, ((0, 0), (0, k - kk)), constant_values=-1)
+    return out_d, out_i
+
+
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
 def scan_matmul(queries: jax.Array, db: jax.Array, k: int,
                 chunk: int = 32768):

@@ -14,16 +14,27 @@ import jax.numpy as jnp
 from verticut_tpu.ops import hamming
 
 
-def linear_search(queries, db, k: int, method: str = "popcount",
+def linear_search(queries, db, k: int, method: str = "auto",
                   chunk: int = 65536):
     """Exact top-k: returns ``(dists int32[Q, k], ids int32[Q, k])``
     ascending by (dist, id).
 
-    method: "popcount" (VPU, packed codes) or "matmul" (MXU, ±1 GEMM).
+    method: "auto" picks the MXU ±1-GEMM formulation for large batches on
+    TPU (the VPU popcount scan materializes a [Q, chunk, W] intermediate —
+    ~50x slower at Q in the thousands) and popcount otherwise; both exact
+    (distances ≤ bits are integers exactly representable in bf16 dots).
     """
     queries = jnp.asarray(queries, jnp.uint32)
     db = jnp.asarray(db, jnp.uint32)
     chunk = min(chunk, max(db.shape[0], 8))
+    if method == "auto":
+        import jax
+        on_tpu = jax.devices()[0].platform == "tpu"
+        method = ("blockmin"
+                  if on_tpu and queries.shape[0] >= 256 else "popcount")
+    if method == "blockmin":
+        return hamming.scan_blockmin(queries, db, k,
+                                     chunk=max(chunk, 512 * 8))
     if method == "popcount":
         return hamming.scan_popcount(queries, db, k, chunk=chunk)
     elif method == "matmul":

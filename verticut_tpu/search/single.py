@@ -130,7 +130,8 @@ def expand_buckets(starts: jax.Array, counts: jax.Array, cap: int):
 # One radius step (jitted per (radius, shapes); tables unrolled)
 # --------------------------------------------------------------------------
 
-def _table_candidates_range(table: MIHTable, queries: jax.Array,
+def _table_candidates_range(table: MIHTable, all_codes: Optional[jax.Array],
+                            queries: jax.Array,
                             q_sub: jax.Array, pmasks: jax.Array,
                             done: jax.Array, cap: int, s_bits: int):
     """Candidates for one range-directory table at one radius.
@@ -144,9 +145,10 @@ def _table_candidates_range(table: MIHTable, queries: jax.Array,
     (cand_dist [Q, S], cand_id [Q, S], n_scored, overflow, n_probe,
     n_nonempty) where S = cap rounded to the fetch-block budget.
     """
-    from verticut_tpu.index.mih import entry_block_size
+    from verticut_tpu.index.mih import ID_ROW_BLOCK, entry_block_size
     d = table.directory
-    blk = entry_block_size(queries.shape[-1])
+    compact = table.entry_rows is None
+    blk = ID_ROW_BLOCK if compact else entry_block_size(queries.shape[-1])
     chb = max(4, cap // blk)
     shift = s_bits - d.pbits
     pref = (q_sub >> jnp.uint32(shift))[:, None] ^ pmasks[None, :]  # [Q, H]
@@ -156,11 +158,31 @@ def _table_candidates_range(table: MIHTable, queries: jax.Array,
     n_probe = jnp.where(active, pref.shape[1], 0).astype(jnp.int32)
     n_nonempty = jnp.sum((counts > 0).astype(jnp.int32), axis=-1)
 
-    n_blocks = table.entry_rows.shape[0]
-    blk_id, lo, hi, _nch, overflow = chunks_lib.chunk_descriptors(
-        starts, counts, blk=blk, chb=chb, n_blocks=n_blocks)
-    dist, cand_id = chunks_lib.fetch_score_blocks(
-        table.entry_rows, blk_id, lo, hi, queries, blk=blk)
+    if compact:
+        # ids-only blocks + per-candidate code gather from the shared
+        # id-ordered array (DESIGN.md §3 compact mode: 4 B/entry/table)
+        n_blocks = table.entry_idrows.shape[0]
+        blk_id, lo, hi, _nch, overflow = chunks_lib.chunk_descriptors(
+            starts, counts, blk=blk, chb=chb, n_blocks=n_blocks)
+        g = table.entry_idrows[blk_id]                    # [Q, CHB, blk]
+        cand_id = g.astype(jnp.int32)
+        n = all_codes.shape[0]
+        ccodes = all_codes[jnp.clip(cand_id, 0, n - 1)]   # [Q, CHB, blk, W]
+        dist = jnp.sum(jax.lax.population_count(
+            ccodes ^ queries[:, None, None, :]).astype(jnp.int32), axis=-1)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, blk), 2)
+        valid = ((pos >= lo[..., None]) & (pos < hi[..., None])
+                 & (cand_id >= 0))
+        nq, _ = blk_id.shape
+        dist = jnp.where(valid, dist, topk.INF_DIST).reshape(nq, chb * blk)
+        cand_id = jnp.where(valid, cand_id,
+                            topk.INVALID_ID).reshape(nq, chb * blk)
+    else:
+        n_blocks = table.entry_rows.shape[0]
+        blk_id, lo, hi, _nch, overflow = chunks_lib.chunk_descriptors(
+            starts, counts, blk=blk, chb=chb, n_blocks=n_blocks)
+        dist, cand_id = chunks_lib.fetch_score_blocks(
+            table.entry_rows, blk_id, lo, hi, queries, blk=blk)
     n_scored = jnp.sum(hi - lo, axis=-1)
     return dist, cand_id, n_scored, overflow, n_probe, n_nonempty
 
@@ -219,8 +241,8 @@ def radius_step(tables: Tuple[MIHTable, ...], all_codes: Optional[jax.Array],
     for t in range(n_tables):
         if is_range:
             d, i, tot, ovf, npb, nne = _table_candidates_range(
-                tables[t], queries, q_subs[:, t], masks, state.done, cap,
-                s_bits)
+                tables[t], all_codes, queries, q_subs[:, t], masks,
+                state.done, cap, s_bits)
             overflow = overflow | ovf
         else:
             d, i, tot, npb, nne = _table_candidates(
@@ -235,7 +257,7 @@ def radius_step(tables: Tuple[MIHTable, ...], all_codes: Optional[jax.Array],
 
     cd = jnp.concatenate(cands_d, axis=-1)
     ci = jnp.concatenate(cands_i, axis=-1)
-    max_id = max(t.entry_ids.shape[0] for t in tables)
+    max_id = max(t.n_entries for t in tables)
     bits = queries.shape[-1] * 32
     if topk.can_pack(max_id - 1, bits):
         pool_size_ = state.pool_dist.shape[-1]
@@ -331,10 +353,10 @@ def fused_pipeline(tables, all_codes, queries, q_subs, masks_tuple,
     The loop driver costs one host round-trip per radius (the done-check)
     plus two per compaction — ~30 ms each through a remote-device tunnel,
     dominating the actual ~70 ms of compute. Here the compaction happens on
-    device (stable sort by done-flag; active rows first), stage batch sizes
-    are fixed up front (``batch_caps``), and a ``compact_ovf`` flag reports
-    if the active set ever exceeded its stage budget — the host then falls
-    back to the adaptive loop driver for exactness. One dispatch, one sync.
+    device (stable sort by done-flag; active rows first) and stage batch
+    sizes are fixed up front (``batch_caps``); actives beyond a stage
+    budget simply stop enumerating and are resolved by the scan stage /
+    host fallback — still exact. One dispatch, one sync.
 
     ``retry_caps``: optional per-stage caps for a device-side overflow
     retry pass — queries whose candidate buffers clipped (``overflow`` set,
@@ -363,9 +385,9 @@ def fused_pipeline(tables, all_codes, queries, q_subs, masks_tuple,
         from verticut_tpu.ops import hamming
 
         def scan_fn(sq):
-            # MXU formulation: the straggler batch is small but the DB
-            # side is the whole corpus — compute-bound on the GEMM
-            return hamming.scan_matmul(sq, all_codes, knn)
+            # block-min pre-selection scan: MXU GEMM + per-block minima,
+            # selection over blocks only (ops/hamming.scan_blockmin)
+            return hamming.scan_blockmin(sq, all_codes, knn)
 
     return run_pipeline(step_fn, scan_fn, queries, q_subs, state0,
                         schedule=schedule, caps=caps, batch_caps=batch_caps,
@@ -391,7 +413,6 @@ def run_pipeline(step_fn, scan_fn, queries, q_subs, state0: SearchState, *,
         full = state_b
         orig = jnp.arange(nb0, dtype=jnp.int32)
         cur_q, cur_qs, cur_state = queries_b, q_subs_b, state_b
-        ovf = jnp.zeros((), jnp.bool_)
 
         for i, (r, _group) in enumerate(schedule):
             # runtime stage skip: late radii have huge mask sets but
@@ -415,9 +436,14 @@ def run_pipeline(step_fn, scan_fn, queries, q_subs, state0: SearchState, *,
             if i + 1 < len(schedule):
                 nb = stage_batch_caps[i + 1]
                 if nb < cur_q.shape[0]:
+                    # Truncating the active set to the stage budget is
+                    # exactness-neutral: dropped actives keep their state
+                    # in `full` with done=False and are resolved by the
+                    # scan stage / host linear fallback. (Workloads where
+                    # enumeration mostly fails — uniform-random queries —
+                    # overflow every stage budget by design and must flow
+                    # to the scan, not to a failure flag.)
                     done_key = cur_state.done.astype(jnp.int32)
-                    n_active = jnp.sum(1 - done_key)
-                    ovf = ovf | (n_active > nb)
                     _, perm = jax.lax.sort(
                         (done_key,
                          jnp.arange(cur_q.shape[0], dtype=jnp.int32)),
@@ -428,9 +454,13 @@ def run_pipeline(step_fn, scan_fn, queries, q_subs, state0: SearchState, *,
                     cur_state = SearchState(*(leaf[sel]
                                               for leaf in cur_state))
                     orig = orig[sel]
-        return full, ovf
+        return full
 
-    full, compact_ovf = staged(queries, q_subs, state0, caps, batch_caps)
+    full = staged(queries, q_subs, state0, caps, batch_caps)
+    # every budget clip degrades to a slower-but-exact path (scan stage,
+    # host retry/scan), so the pipeline itself cannot fail; the flag is
+    # kept in the packed result format as a reserved column
+    compact_ovf = jnp.zeros((), jnp.bool_)
 
     if retry_caps:
         # Compact the overflowed-but-finished rows (unfinished ones hit the
@@ -441,9 +471,9 @@ def run_pipeline(step_fn, scan_fn, queries, q_subs, state0: SearchState, *,
         flag = full.overflow & full.done
         idx = jnp.arange(nq, dtype=jnp.int32)
         _, perm = jax.lax.sort(((~flag).astype(jnp.int32), idx), num_keys=2)
+        # Flagged rows beyond the retry budget keep overflow=True and are
+        # re-run by the host retry path — a round trip, but rare².
         sel = perm[:retry_budget]
-        n_retry = jnp.sum(flag.astype(jnp.int32))
-        compact_ovf = compact_ovf | (n_retry > retry_budget)
         rq = queries[sel]
         rqs = q_subs[sel]
         flag_sel = flag[sel]
@@ -452,8 +482,7 @@ def run_pipeline(step_fn, scan_fn, queries, q_subs, state0: SearchState, *,
             retry_budget if i == 0
             else max(64, retry_budget >> (3 + 2 * (i - 1)))
             for i in range(len(schedule)))
-        rfull, rovf = staged(rq, rqs, rstate, retry_caps, retry_bc)
-        compact_ovf = compact_ovf | rovf
+        rfull = staged(rq, rqs, rstate, retry_caps, retry_bc)
 
         def _blend(f, c):
             m = flag_sel.reshape((-1,) + (1,) * (c.ndim - 1))
