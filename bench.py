@@ -40,23 +40,53 @@ def main():
     scfg = SearchConfig(knn=k, candidate_cap=8192, max_enum_radius=5)
 
     rng = np.random.default_rng(0)
-    log(f"bench: generating {n} clustered codes")
-    packed = codes.clustered_codes(0, n, cfg.bits, n_clusters=n // 200,
-                                   flip_p=0.02)
-    t0 = time.time()
-    index = build_index_native(packed, cfg)  # C++ radix + cuckoo directory
-    jax.block_until_ready(index.tables[-1].entry_ids)
-    build_s = time.time() - t0
-    log(f"bench: build {build_s:.1f}s")
+    device_build_min = int(os.environ.get("VERTICUT_DEVICE_BUILD_MIN",
+                                          20_000_000))
+    if n >= device_build_min:
+        # scale path: the corpus is generated AND built on device — the
+        # relay moves host->HBM at ~5 MB/s, so at 100M nothing big may
+        # ever leave the host (CLAUDE.md). Compact layout: ids-only
+        # blocks + shared code array (~56 B/code total).
+        from verticut_tpu.index import build_index
+        log(f"bench: generating {n} clustered codes on device")
+        t0 = time.time()
+        packed_dev = codes.clustered_codes_device(
+            0, n, cfg.bits, n_clusters=n // 200, flip_p=0.02)
+        gen_s = time.time() - t0
+        t0 = time.time()
+        index = build_index(packed_dev, cfg, store_codes=False,
+                            directory="range")
+        float(jnp.sum(index.tables[-1].directory.se[-1]))  # hard sync
+        build_s = time.time() - t0
+        log(f"bench: device gen {gen_s:.1f}s build {build_s:.1f}s")
+        # queries: perturb random db rows by 3 bit flips, on device
+        sel = jnp.asarray(rng.integers(0, n, q_batch))
+        pos = jnp.asarray(rng.integers(0, cfg.bits, (q_batch, 3)))
+        rows = packed_dev[sel]
+        word = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cfg.n_words), 2)
+        terms = jnp.where(
+            pos[:, :, None] // 32 == word,
+            jnp.uint32(1) << (pos[:, :, None] % 32).astype(jnp.uint32),
+            jnp.uint32(0))                        # [Q, 3, W]
+        queries = rows ^ terms[:, 0] ^ terms[:, 1] ^ terms[:, 2]
+    else:
+        log(f"bench: generating {n} clustered codes")
+        packed = codes.clustered_codes(0, n, cfg.bits, n_clusters=n // 200,
+                                       flip_p=0.02)
+        t0 = time.time()
+        index = build_index_native(packed, cfg)  # C++ radix + range dirs
+        jax.block_until_ready(index.tables[-1].entry_ids)
+        build_s = time.time() - t0
+        log(f"bench: build {build_s:.1f}s")
 
-    # queries: perturb random db rows by 3 bit flips
-    sel = rng.integers(0, n, q_batch)
-    qraw = codes.unpack_to_bytes(packed[sel])
-    flips = rng.integers(0, cfg.bits, (q_batch, 3))
-    for i in range(q_batch):
-        for b in flips[i]:
-            qraw[i, b // 8] ^= 1 << (b % 8)
-    queries = jnp.asarray(codes.pack_bytes(qraw))
+        # queries: perturb random db rows by 3 bit flips
+        sel = rng.integers(0, n, q_batch)
+        qraw = codes.unpack_to_bytes(packed[sel])
+        flips = rng.integers(0, cfg.bits, (q_batch, 3))
+        for i in range(q_batch):
+            for b in flips[i]:
+                qraw[i, b // 8] ^= 1 << (b % 8)
+        queries = jnp.asarray(codes.pack_bytes(qraw))
 
     from verticut_tpu.search import mih_search_dispatch, mih_search_finalize
 

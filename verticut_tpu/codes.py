@@ -90,6 +90,57 @@ def clustered_codes(seed: int, n: int, bits: int = 128,
     return out
 
 
+def clustered_codes_device(seed: int, n: int, bits: int = 128,
+                           n_clusters: int = 64,
+                           flip_p: float = 0.05) -> jax.Array:
+    """Device-side clustered-code generator (same distribution family as
+    :func:`clustered_codes`: random centers, per-bit Bernoulli flips at
+    round(flip_p*256)/256).
+
+    Exists because host->HBM uploads run at ~5 MB/s through this rig's
+    remote-device relay (CLAUDE.md) — at 100M codes the corpus must be
+    *born* on device (1.6 GB would otherwise take ~5 minutes to ship).
+    """
+    import functools
+
+    import jax.random as jr
+    w = bits // 32
+    thresh = max(1, round(flip_p * 256))
+    chunk = min(n, 4 * 1024 * 1024)
+    n_chunks = -(-n // chunk)
+    n_pad = n_chunks * chunk
+
+    # ONE jitted program: chunked fori_loop writing into the output carry.
+    # Chunking bounds the [R, bits] random-byte transient; doing it inside
+    # a single program (rather than eager per-chunk calls) keeps the big
+    # [n, w] array in its compact layout — eager-op boundaries were
+    # observed to insert lane-padded relayout copies (32x bytes at w=4,
+    # fatal at 100M).
+    @functools.partial(jax.jit, static_argnames=("rows", "total"))
+    def gen_all(key, rows, total):
+        k0, k1 = jr.split(key)
+        centers = jr.bits(k0, (n_clusters, w), jnp.uint32)
+        keys = jr.split(k1, total // rows)
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+
+        def body(i, out):
+            ka, kb = jr.split(keys[i])
+            assign = jr.randint(ka, (rows,), 0, n_clusters, jnp.int32)
+            base = centers[assign]                           # [R, w]
+            # per-bit Bernoulli(thresh/256) via one random byte per bit
+            rb = jr.randint(kb, (rows, bits), 0, 256, jnp.uint8)
+            fb = (rb < thresh).astype(jnp.uint32).reshape(rows, w, 32)
+            part = base ^ jnp.sum(fb << shifts, axis=-1, dtype=jnp.uint32)
+            return jax.lax.dynamic_update_slice(
+                out, part, (i * rows, 0))
+
+        out = jnp.zeros((total, w), jnp.uint32)
+        return jax.lax.fori_loop(0, total // rows, body, out)
+
+    out = gen_all(jr.PRNGKey(seed), chunk, n_pad)
+    return out if n_pad == n else out[:n]
+
+
 # --------------------------------------------------------------------------
 # Substring extraction (the hash-table bucket index)
 # --------------------------------------------------------------------------

@@ -33,7 +33,11 @@ def _pad_db(db: jax.Array, chunk: int):
     n = db.shape[0]
     n_pad = (-n) % chunk
     if n_pad:
-        db = jnp.pad(db, ((0, n_pad), (0, 0)))
+        # zeros + dynamic_update_slice, NOT jnp.pad: pad of a big [N, w]
+        # corpus was observed to materialize in a lane-padded tiled layout
+        # (w=4 pads to 128 lanes -> 32x bytes, fatal at 100M)
+        out = jnp.zeros((n + n_pad, db.shape[1]), db.dtype)
+        db = jax.lax.dynamic_update_slice(out, db, (0, 0))
     return db, n
 
 
@@ -119,11 +123,15 @@ def scan_blockmin(queries: jax.Array, db: jax.Array, k: int,
     db_p, n = _pad_db(db, chunk)
     n_pad_rows = db_p.shape[0]
     n_chunks = n_pad_rows // chunk
-    db_c = db_p.reshape(n_chunks, chunk, w)
+    nb = n_pad_rows // block
     pos0 = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
-    def body(_, args):
-        chunk_codes, base = args
+    # fori_loop + dynamic_slice, NOT a [C, chunk, w] reshape + lax.scan:
+    # reshaping a [N, w] corpus to 3-D forces a lane-padded tiled copy
+    # (w=4 pads to 128 lanes -> 32x bytes, fatal at 100M)
+    def body(i, blk_min):
+        base = i * chunk
+        chunk_codes = jax.lax.dynamic_slice(db_p, (base, 0), (chunk, w))
         dpm = codes_lib.unpack_bits_pm1(chunk_codes)
         dot = jax.lax.dot_general(
             qpm, dpm, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -131,18 +139,23 @@ def scan_blockmin(queries: jax.Array, db: jax.Array, k: int,
         d = ((bits - dot) * 0.5).astype(jnp.int32)
         d = jnp.where(pos0 + base < n, d, topk.INF_DIST)  # mask pad rows
         bm = jnp.min(d.reshape(q, chunk // block, block), axis=-1)
-        return None, bm
+        return jax.lax.dynamic_update_slice(
+            blk_min, bm, (0, i * (chunk // block)))
 
-    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    _, bms = jax.lax.scan(body, None, (db_c, bases))      # [C, Q, chunk/b]
-    nb = n_pad_rows // block
-    blk_min = jnp.moveaxis(bms, 0, 1).reshape(q, nb)
+    blk_min = jax.lax.fori_loop(
+        0, n_chunks, body,
+        jnp.full((q, nb), topk.INF_DIST, jnp.int32))
 
     kb = min(k, nb)
     _, bidx = jax.lax.top_k(-blk_min, kb)                 # stable: ties ->
     bidx = jnp.sort(bidx, axis=-1)                        # ascending pos
-    blocked = db_p.reshape(nb, block * w)
-    g = blocked[bidx].reshape(q, kb, block, w)            # [Q, kb, b, W]
+    # slice-gather straight off the [N, w] corpus — reshaping it to
+    # [nb, block*w] first forces a lane-padded tiled copy (32x at w=4)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3), collapsed_slice_dims=(), start_index_map=(0,))
+    g = jax.lax.gather(db_p, (bidx * block)[..., None], dn,
+                       slice_sizes=(block, w),
+                       mode=jax.lax.GatherScatterMode.CLIP)  # [Q,kb,b,W]
     d = jnp.sum(jax.lax.population_count(
         g ^ queries[:, None, None, :]).astype(jnp.int32), axis=-1)
     pos = bidx[:, :, None] * block + jax.lax.broadcasted_iota(

@@ -160,23 +160,34 @@ def _table_candidates_range(table: MIHTable, all_codes: Optional[jax.Array],
 
     if compact:
         # ids-only blocks + per-candidate code gather from the shared
-        # id-ordered array (DESIGN.md §3 compact mode: 4 B/entry/table)
+        # id-ordered array (DESIGN.md §3 compact mode: 4 B/entry/table).
+        # The gathered-codes intermediate is processed in chunk-axis
+        # slices so deep-radius/retry shapes never materialize multi-GB
+        # [Q, CHB, blk, W] buffers.
         n_blocks = table.entry_idrows.shape[0]
         blk_id, lo, hi, _nch, overflow = chunks_lib.chunk_descriptors(
             starts, counts, blk=blk, chb=chb, n_blocks=n_blocks)
-        g = table.entry_idrows[blk_id]                    # [Q, CHB, blk]
-        cand_id = g.astype(jnp.int32)
+        nq = blk_id.shape[0]
         n = all_codes.shape[0]
-        ccodes = all_codes[jnp.clip(cand_id, 0, n - 1)]   # [Q, CHB, blk, W]
-        dist = jnp.sum(jax.lax.population_count(
-            ccodes ^ queries[:, None, None, :]).astype(jnp.int32), axis=-1)
+        w = queries.shape[-1]
         pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, blk), 2)
-        valid = ((pos >= lo[..., None]) & (pos < hi[..., None])
-                 & (cand_id >= 0))
-        nq, _ = blk_id.shape
-        dist = jnp.where(valid, dist, topk.INF_DIST).reshape(nq, chb * blk)
-        cand_id = jnp.where(valid, cand_id,
-                            topk.INVALID_ID).reshape(nq, chb * blk)
+        sl = max(8, (1 << 23) // max(nq * blk * w, 1))
+        d_parts, i_parts = [], []
+        for c0 in range(0, chb, sl):
+            c1 = min(c0 + sl, chb)
+            cid = table.entry_idrows[blk_id[:, c0:c1]].astype(jnp.int32)
+            ccodes = all_codes[jnp.clip(cid, 0, n - 1)]
+            dd = jnp.sum(jax.lax.population_count(
+                ccodes ^ queries[:, None, None, :]).astype(jnp.int32),
+                axis=-1)
+            ok = ((pos >= lo[:, c0:c1, None]) & (pos < hi[:, c0:c1, None])
+                  & (cid >= 0))
+            d_parts.append(jnp.where(ok, dd, topk.INF_DIST)
+                           .reshape(nq, (c1 - c0) * blk))
+            i_parts.append(jnp.where(ok, cid, topk.INVALID_ID)
+                           .reshape(nq, (c1 - c0) * blk))
+        dist = jnp.concatenate(d_parts, axis=-1)
+        cand_id = jnp.concatenate(i_parts, axis=-1)
     else:
         n_blocks = table.entry_rows.shape[0]
         blk_id, lo, hi, _nch, overflow = chunks_lib.chunk_descriptors(
@@ -299,9 +310,19 @@ def _index_mask_bits(index: MIHIndex) -> int:
     return index.cfg.s_bits
 
 
+def _index_fetch_blk(index: MIHIndex) -> int:
+    """Fetch-block granularity of the index's range tables (slots are
+    consumed in whole blocks, so budgets must count in the right unit)."""
+    from verticut_tpu.index.mih import ID_ROW_BLOCK, entry_block_size
+    t0 = index.tables[0]
+    if t0.entry_rows is None and t0.entry_idrows is not None:
+        return ID_ROW_BLOCK
+    return entry_block_size(index.cfg.n_words)
+
+
 def _cap_for_radius(scfg: SearchConfig, cfg: MIHConfig, n: int, radii,
                     pool_size: int, mask_bits: Optional[int] = None,
-                    is_range: bool = False) -> int:
+                    is_range: bool = False, blk: int = RANGE_BLK) -> int:
     """Per-radius candidate capacity: sized from the uniform-occupancy
     expectation plus headroom; overflow detection + re-run covers skewed
     (clustered) data. Shrinking the cap is the single biggest lever on the
@@ -315,7 +336,6 @@ def _cap_for_radius(scfg: SearchConfig, cfg: MIHConfig, n: int, radii,
     if is_range:
         # slots consumed = fetch blocks: >=1 block per nonempty probe, the
         # range rows themselves, plus headroom for one clustered hot range
-        blk = RANGE_BLK
         slots = n_m * blk + 2 * int(expected) + 12 * blk
         cap = -(-slots // (4 * blk)) * (4 * blk)
     else:
@@ -666,7 +686,8 @@ def mih_search_dispatch(index: MIHIndex, queries,
     if not schedule:
         return None
     caps = tuple(_cap or _cap_for_radius(scfg, cfg, index.n, g, pool_size,
-                                         mask_bits, is_range)
+                                         mask_bits, is_range,
+                                         _index_fetch_blk(index))
                  for _, g in schedule)
     batch_caps = tuple(
         nq if i == 0 else max(64, nq >> (3 + 2 * (i - 1)))
@@ -738,11 +759,17 @@ def _apply_fallbacks(index, queries, scfg, _cap, k, dists, ids, radius,
     if redo.any() and base_cap < index.n:
         queries0 = np.asarray(queries)
         idxs = np.nonzero(redo)[0]
-        sub = mih_search(index, queries0[idxs], scfg,
-                         _cap=min(base_cap * 4, max(index.n, 8)))
-        dists[idxs] = sub.dists
-        ids[idxs] = sub.ids
-        radius[idxs] = sub.radius
+        new_cap = min(base_cap * 4, max(index.n, 8))
+        # memory guard: retry batches at quadrupled caps allocate
+        # nq * cap * m candidate slots — slice the batch so the slot
+        # tensor stays bounded (~0.5 GB of int32 pairs)
+        max_rows = max(64, (1 << 25) // max(new_cap, 1))
+        for lo in range(0, len(idxs), max_rows):
+            part = idxs[lo:lo + max_rows]
+            sub = mih_search(index, queries0[part], scfg, _cap=new_cap)
+            dists[part] = sub.dists
+            ids[part] = sub.ids
+            radius[part] = sub.radius
 
     if not_done.any():
         if index.codes is None:
@@ -805,7 +832,8 @@ def mih_search(index: MIHIndex, queries, scfg: SearchConfig = SearchConfig(),
     is_range = isinstance(index.tables[0].directory, dir_lib.RangeDirectory)
     for r, group in _radius_schedule(scfg, cfg, index.n, mask_bits, is_range):
         cap = _cap or _cap_for_radius(scfg, cfg, index.n, group, pool_size,
-                                      mask_bits, is_range)
+                                      mask_bits, is_range,
+                                      _index_fetch_blk(index))
         masks = _device_masks(mask_bits, group)
         step_kw = dict(
             radius=r, n_tables=cfg.n_tables, knn=k, pool_size=pool_size,

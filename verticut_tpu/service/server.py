@@ -144,28 +144,44 @@ class ImageSearchServer:
 
     def _run_or_wait(self, key, evt):
         # One thread at a time is the batch leader (device work serialized);
-        # everyone else polls until their event is set. A request enqueued
-        # just after the leader's pop is picked up either by the leader's
-        # next drain iteration or by the requester itself once the lock
-        # frees — no unbounded waits.
+        # everyone else polls until their event is set. The leader keeps up
+        # to TWO device batches in flight (dispatch the next before
+        # finalizing the previous) so device work overlaps the host sync —
+        # the serving analog of the bench's pipelined throughput mode.
         while not evt.is_set():
             if self._lock.acquire(blocking=False):
                 try:
-                    while not evt.is_set():
+                    inflight = None
+                    while True:
+                        if evt.is_set():
+                            # our request is answered: drain the handle we
+                            # own and hand leadership back (waiters of the
+                            # remaining batches become leaders themselves)
+                            if inflight is not None:
+                                self._finalize(key, *inflight)
+                                inflight = None
+                            break
                         with self._q_lock:
                             batch = self._pending.pop(key, [])
                         if not batch:
-                            break  # our slot is being served by another leader
-                        self._execute(key, batch)
+                            if inflight is None:
+                                break  # served by another leader, or done
+                            self._finalize(key, *inflight)
+                            inflight = None
+                            continue
+                        dispatched = self._dispatch_device(key, batch)
+                        if inflight is not None:
+                            self._finalize(key, *inflight)
+                        if dispatched is None:  # sync engine (sharded)
+                            self._execute_sync(key, batch)
+                        else:
+                            inflight = (batch,) + dispatched
                 finally:
                     self._lock.release()
             else:
                 evt.wait(timeout=0.05)
 
-    def _execute(self, key, batch):
-        from verticut_tpu.search import mih_search
-        knn, approx = key
-        scfg = SearchConfig(knn=knn, approximate=approx)
+    def _pad_batch(self, batch):
         qs = [slot[0] for slot, _ in batch]
         sizes = [q.shape[0] for q in qs]
         queries = np.concatenate(qs)
@@ -177,11 +193,43 @@ class ImageSearchServer:
         if n_pad:
             queries = np.concatenate(
                 [queries, np.repeat(queries[:1], n_pad, axis=0)])
+        return queries, sizes
+
+    def _dispatch_device(self, key, batch):
+        """Launch without waiting; None if only the sync path applies."""
         if self.sharded:
-            from verticut_tpu.search.sharded import sharded_mih_search
-            res = sharded_mih_search(self.index, queries, scfg)
+            return None
+        from verticut_tpu.search import mih_search_dispatch
+        knn, approx = key
+        queries, sizes = self._pad_batch(batch)
+        h = mih_search_dispatch(self.index, queries,
+                                SearchConfig(knn=knn, approximate=approx))
+        if h is None:  # fused driver declined: fall back to sync
+            return ("sync", queries, sizes)
+        return (h, None, sizes)
+
+    def _finalize(self, key, batch, handle, queries_or_none, sizes):
+        from verticut_tpu.search import mih_search, mih_search_finalize
+        knn, approx = key
+        scfg = SearchConfig(knn=knn, approximate=approx)
+        if handle == "sync":
+            res = mih_search(self.index, queries_or_none, scfg)
         else:
-            res = mih_search(self.index, queries, scfg)
+            res = mih_search_finalize(handle)
+            if res is None:  # stage-budget edge: redo via the loop driver
+                res = mih_search(self.index, handle.queries, scfg)
+        self._distribute(batch, sizes, res)
+
+    def _execute_sync(self, key, batch):
+        knn, approx = key
+        scfg = SearchConfig(knn=knn, approximate=approx)
+        queries, sizes = self._pad_batch(batch)
+        from verticut_tpu.search.sharded import sharded_mih_search
+        res = sharded_mih_search(self.index, queries, scfg)
+        self._distribute(batch, sizes, res)
+
+    @staticmethod
+    def _distribute(batch, sizes, res):
         lo = 0
         for (slot, evt), sz in zip(batch, sizes):
             rows = []
