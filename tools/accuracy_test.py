@@ -16,29 +16,58 @@ def main():
     from verticut_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--index", required=True)
-    p.add_argument("-c", "--count", type=int, default=20,
-                   help="queries per k (reference: 20 iters)")
+    p.add_argument("--index")
+    p.add_argument("--synth", type=int, default=0,
+                   help="build an in-process clustered corpus of this size")
+    p.add_argument("--uniform", action="store_true",
+                   help="synth corpus uniform-random instead of clustered")
+    p.add_argument("-c", "--count", type=int, default=256,
+                   help="queries per k (reference protocol: 20 iters; more "
+                        "here so warm batched timings mean something)")
     p.add_argument("--ks", default="3,100,500,1000")
+    p.add_argument("--warm", action="store_true", default=True)
+    p.add_argument("--no-fused", action="store_true",
+                   help="use the per-radius loop driver (the fused program "
+                        "at k*20 pools >= 10k compiles pathologically "
+                        "through this rig's remote compiler)")
     args = p.parse_args()
 
     import numpy as np
-    from verticut_tpu.config import SearchConfig
+    from verticut_tpu import codes
+    from verticut_tpu.config import MIHConfig, SearchConfig
     from verticut_tpu.index.mih import load_index
     from verticut_tpu.search import mih_search
 
-    index = load_index(args.index)
+    if args.synth:
+        from verticut_tpu.index.build_native import build_index_native
+        cfg = MIHConfig(bits=128, n_tables=4)
+        if args.uniform:
+            packed = codes.random_codes(0, args.synth, cfg.bits)
+        else:
+            packed = codes.clustered_codes(0, args.synth, cfg.bits,
+                                           n_clusters=args.synth // 200,
+                                           flip_p=0.02)
+        index = build_index_native(packed, cfg)
+    elif args.index:
+        index = load_index(args.index)
+    else:
+        p.error("--index or --synth required")
     rng = np.random.default_rng(0)
     qids = rng.integers(0, index.n, args.count)
     queries = np.asarray(index.codes)[qids]
 
     for k in (int(x) for x in args.ks.split(",")):
+        fused = not args.no_fused
+        se = SearchConfig(knn=k, fused=fused)
+        sa = SearchConfig(knn=k, approximate=True, fused=fused)
+        if args.warm:
+            mih_search(index, queries, se)
+            mih_search(index, queries, sa)
         t0 = time.time()
-        exact = mih_search(index, queries, SearchConfig(knn=k))
+        exact = mih_search(index, queries, se)
         t_exact = time.time() - t0
         t0 = time.time()
-        approx = mih_search(index, queries,
-                            SearchConfig(knn=k, approximate=True))
+        approx = mih_search(index, queries, sa)
         t_approx = time.time() - t0
 
         # accuracy_test.cc metrics

@@ -113,11 +113,15 @@ def merge_topk_dedup_packed(pool_dist: jax.Array, pool_id: jax.Array,
     dup = jnp.concatenate(
         [jnp.zeros_like(top[..., :1], jnp.bool_),
          (top[..., 1:] == top[..., :-1]) & (top[..., 1:] != inv0)], axis=-1)
-    # compact survivors: rank = index - (#dups before), scatter to rank
-    rank = jnp.cumsum((~dup).astype(jnp.int32), axis=-1) - 1
-    rank = jnp.where(dup, m, rank)                   # dups fall off the end
-    out = jnp.zeros((top.shape[0], m + 1), jnp.uint32)
-    out = jax.vmap(lambda o, r, t: o.at[r].set(t))(out, rank, top)[:, :p]
+    # compact survivors: invalidate dups, then one more top_k — a scatter
+    # compaction compiles/runs pathologically at the wide pools of
+    # approximate mode (k*20), while top_k over the already-selected m is
+    # cheap at any width
+    top = jnp.where(dup, inv0, top)
+    kk = min(p, m)
+    out = jax.lax.top_k(top, kk)[0]
+    if kk < p:
+        out = jnp.pad(out, ((0, 0), (0, p - kk)), constant_values=0)
     packed = ~out
     invalid = out == inv0
     pid = jnp.where(invalid, INVALID_ID,
