@@ -109,7 +109,7 @@ def main():
     # throughput: depth-2 pipeline of batches (device work of batch i
     # overlaps the host sync of batch i-1 — the serving configuration;
     # falls back to the sequential path if the fused driver declined)
-    n_batches = 6
+    n_batches = 10  # longer run: this rig's throughput wobbles ~±15%
     t0 = time.time()
     pending = mih_search_dispatch(index, queries, scfg)
     if pending is None:

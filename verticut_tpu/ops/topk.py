@@ -81,11 +81,12 @@ def merge_topk_dedup_packed(pool_dist: jax.Array, pool_id: jax.Array,
     ``P * n_tables``. ~4x faster than the two-pass multi-key sort.
 
     Wide candidate sets are pre-reduced blockwise (``lax.top_k`` on TPU is a
-    full sort of the axis, so hierarchical beats flat past ~2 blocks): each
-    ``block``-wide slice keeps its top ``P + n_dup`` keys — a superset of
-    its members in the global top ``P + n_dup`` (dups of a winner included,
-    since per-block top-m keeps any key ≥ the global m-th) — exactness
-    preserved.
+    full sort of the axis, so hierarchical beats flat past ~2 blocks — and
+    narrower blocks sort cheaper: 512 measured ~2x faster than 2048 at
+    [8192, 32k]): each ``block``-wide slice keeps its top ``P + n_dup``
+    keys — a superset of its members in the global top ``P + n_dup`` (dups
+    of a winner included, since per-block top-m keeps any key ≥ the global
+    m-th) — exactness preserved.
     """
     p = pool_dist.shape[-1]
     inv0 = jnp.uint32(0)  # inverted INF: top_k picks largest inverted keys

@@ -685,6 +685,11 @@ def mih_search_dispatch(index: MIHIndex, queries,
         <= scfg.fused_max_masks)
     if not schedule:
         return None
+    # (A "replace r>=2 stages with a wider scan budget" crossover was
+    # tried here and measured SLOWER at 1M — the scan's per-chunk distance
+    # slab traffic exceeds the r2 stage cost. The deep stages stay.)
+    scan_budget = (min(nq, max(64, nq // 64)) if index.codes is not None
+                   else 0)
     caps = tuple(_cap or _cap_for_radius(scfg, cfg, index.n, g, pool_size,
                                          mask_bits, is_range,
                                          _index_fetch_blk(index))
@@ -704,8 +709,7 @@ def mih_search_dispatch(index: MIHIndex, queries,
         s_bits=cfg.s_bits,
         retry_caps=retry_caps if retry_caps != caps else None,
         retry_budget=min(nq, max(64, nq // 4)),
-        scan_budget=min(nq, max(64, nq // 64)) if index.codes is not None
-        else 0)
+        scan_budget=scan_budget)
     return FusedHandle(packed=packed, queries=queries, index=index,
                        scfg=scfg, cap=_cap)
 
