@@ -54,7 +54,10 @@ def main():
             0, n, cfg.bits, n_clusters=n // 200, flip_p=0.02)
         gen_s = time.time() - t0
         t0 = time.time()
-        index = build_index(packed_dev, cfg, store_codes=False,
+        # inline (id,code) rows when they fit (~32 B/entry/table);
+        # compact ids-only blocks beyond ~40M (DESIGN.md §3)
+        inline = n * 32 * cfg.n_tables <= 6 * (1 << 30)
+        index = build_index(packed_dev, cfg, store_codes=inline,
                             directory="range")
         float(jnp.sum(index.tables[-1].directory.se[-1]))  # hard sync
         build_s = time.time() - t0

@@ -34,7 +34,19 @@ def main():
                    help="max queries from file (reference caps at 200)")
     p.add_argument("--mesh", default=None,
                    help="TxSxQ mesh for the sharded engine, e.g. 4x1x1")
+    p.add_argument("--cpu-devices", type=int, default=0,
+                   help="force N virtual CPU devices in-process (this rig "
+                        "pins JAX_PLATFORMS via sitecustomize, so env vars "
+                        "do not stick — same seam as dryrun_multichip)")
     args = p.parse_args()
+
+    if args.cpu_devices:
+        import os
+        flag = f"--xla_force_host_platform_device_count={args.cpu_devices}"
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") + " " + flag).strip()
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
     from verticut_tpu import codes as codes_lib
