@@ -45,3 +45,26 @@ def test_fused_stage_overflow_falls_back():
                                           candidate_cap=2048))
     ld, _ = linear_search(q, packed, 20)
     assert np.array_equal(np.sort(res.dists, -1), np.sort(np.asarray(ld), -1))
+
+
+def test_async_dispatch_finalize_matches_sync():
+    """mih_search_dispatch/finalize (the pipelining API) must return
+    exactly what the sync entry point returns."""
+    from verticut_tpu.search import (mih_search_dispatch,
+                                     mih_search_finalize)
+    rng = np.random.default_rng(42)
+    packed = codes.pack_bytes(
+        rng.integers(0, 256, size=(2000, 16), dtype=np.uint8))
+    idx = build_index(packed, MIHConfig(bits=128, n_tables=4))
+    q = packed[:64]
+    scfg = SearchConfig(knn=7)
+    sync = mih_search(idx, q, scfg)
+    # two handles in flight, finalized out of order
+    h1 = mih_search_dispatch(idx, q, scfg)
+    h2 = mih_search_dispatch(idx, q[::-1].copy(), scfg)
+    r2 = mih_search_finalize(h2)
+    r1 = mih_search_finalize(h1)
+    assert np.array_equal(r1.dists, sync.dists)
+    assert np.array_equal(r1.ids, sync.ids)
+    assert np.array_equal(r2.dists, sync.dists[::-1])
+    assert np.array_equal(r2.ids, sync.ids[::-1])

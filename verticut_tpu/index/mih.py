@@ -148,10 +148,52 @@ def _make_directory(sorted_subs: jax.Array, cfg: MIHConfig,
     raise ValueError(f"unknown directory kind {directory!r}")
 
 
+import functools
+
+
+@functools.partial(
+    jax.jit, static_argnames=("s_bits", "pbits", "store_codes"))
+def _build_table_range_jit(codes_arr, subs, *, s_bits: int, pbits: int,
+                           store_codes: bool):
+    """One fused device program per range table: stable sort,
+    range-directory offsets, blocked entry rows. Eager per-op building
+    costs a remote compile + dispatch round trip per op on this rig
+    (~8 ops/table) and risks layout-relayout copies on the big
+    intermediates; fused it is ONE compile shared by every table (the
+    substring column is an argument, so table_id never specializes the
+    program) and XLA owns the layouts."""
+    n = codes_arr.shape[0]
+    ids = jnp.arange(n, dtype=jnp.int32)
+    sorted_subs, sorted_ids = jax.lax.sort((subs, ids), num_keys=2)
+    shift = s_bits - pbits
+    prefixes = (sorted_subs >> jnp.uint32(shift)).astype(jnp.uint32)
+    grid = jnp.arange((1 << pbits) + 1, dtype=jnp.int32).astype(jnp.uint32)
+    offs = jnp.searchsorted(prefixes, grid, side="left").astype(jnp.int32)
+    se = jnp.stack([offs[:-1], offs[1:]], axis=-1)
+    if store_codes:
+        rows = make_entry_rows(sorted_ids, codes_arr[sorted_ids])
+    else:
+        rows = make_entry_idrows(sorted_ids)
+    return sorted_ids, se, rows
+
+
 def _build_table(codes_arr: jax.Array, table_id: int, cfg: MIHConfig,
                  dense_threshold: int, store_codes: bool,
                  with_bitmap: bool, directory: str) -> MIHTable:
     n = codes_arr.shape[0]
+    if directory == "auto":
+        directory = "dense" if cfg.s_bits <= dense_threshold else "range"
+    if directory == "range" and not with_bitmap:
+        pbits = dir_lib.pick_range_pbits(n, cfg.s_bits)
+        subs = codes_lib.substring(codes_arr, table_id, cfg.s_bits)
+        sorted_ids, se, rows = _build_table_range_jit(
+            codes_arr, subs, s_bits=cfg.s_bits, pbits=pbits,
+            store_codes=store_codes)
+        d = dir_lib.RangeDirectory(se=se, s_bits=cfg.s_bits)
+        return MIHTable(entry_ids=sorted_ids, entry_codes=None,
+                        directory=d, bitmap=None,
+                        entry_rows=rows if store_codes else None,
+                        entry_idrows=None if store_codes else rows)
     subs = codes_lib.substring(codes_arr, table_id, cfg.s_bits)
     ids = jnp.arange(n, dtype=jnp.int32)
     # Stable (substring, id) sort: bucket-internal id order matches the
