@@ -700,7 +700,9 @@ def mih_search_dispatch(index: MIHIndex, queries,
     masks_tuple = tuple(_device_masks(mask_bits, group)
                         for _, group in schedule)
 
-    retry_caps = tuple(min(c * 4, max(scfg.candidate_cap, c)) for c in caps)
+    # x2, not x4: covers the typical clustered hot range at half the cost;
+    # the rare double-overflow falls to the host retry (which quadruples)
+    retry_caps = tuple(min(c * 2, max(scfg.candidate_cap, c)) for c in caps)
     packed = fused_pipeline_packed(
         tables, index.codes, queries, masks_tuple,
         schedule=schedule, caps=caps, batch_caps=batch_caps,
