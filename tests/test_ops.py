@@ -215,3 +215,106 @@ def test_packed_merge_hierarchical_blocks_exact():
         jnp.asarray(ci))
     assert np.array_equal(np.asarray(a_d), np.asarray(b_d))
     assert np.array_equal(np.asarray(a_i), np.asarray(b_i))
+
+
+def test_bitonic_sort_pairs_matches_lexsort():
+    rng = np.random.default_rng(5)
+    for w in (1, 2, 8, 64, 256):
+        k = rng.integers(0, 7, size=(9, w)).astype(np.uint32)  # many ties
+        v = rng.integers(0, 1 << 31, size=(9, w)).astype(np.uint32)
+        sk, sv = topk.bitonic_sort_pairs(jnp.asarray(k), jnp.asarray(v))
+        sk, sv = np.asarray(sk), np.asarray(sv)
+        for i in range(9):
+            order = np.lexsort((v[i], k[i]))
+            assert np.array_equal(sk[i], k[i][order])
+            assert np.array_equal(sv[i], v[i][order])
+
+
+def _rand_cands(rng, q, c, max_id, base=0):
+    """Random candidates; dist is a pure function of id, ids unique per row
+    (the per-table invariant the strip merges rely on)."""
+    cid = np.full((q, c), -1, np.int64)
+    for i in range(q):
+        k = rng.integers(0, c + 1)
+        cid[i, :k] = rng.choice(max_id, size=k, replace=False) + base
+    cdist = np.where(cid >= 0, (cid * 13 + 5) % 120, 0)
+    return cdist.astype(np.int32), cid.astype(np.int32)
+
+
+def _oracle_topk(rows_of_pairs, p):
+    out = []
+    for pairs in rows_of_pairs:
+        best = sorted(pairs.items(), key=lambda kv: (kv[1], kv[0]))[:p]
+        out.append([(d, i) for i, d in best])
+    return out
+
+
+def _run_strip_merge(packed_path, p=7, n_tables=3, c=40, max_id=500,
+                     base=0, seed=3):
+    rng = np.random.default_rng(seed)
+    q = 6
+    pd, pi = topk.empty_pool(q, p)
+    seen = [dict() for _ in range(q)]
+    for _ in range(3):
+        tables = [_rand_cands(rng, q, c, max_id, base)
+                  for _ in range(n_tables)]
+        for cdist, cid in tables:
+            for i in range(q):
+                for j in range(c):
+                    if cid[i, j] >= 0:
+                        seen[i][int(cid[i, j])] = int(cdist[i, j])
+        if packed_path:
+            strips = jnp.concatenate(
+                [topk.table_topk_packed(jnp.asarray(d), jnp.asarray(i), p)
+                 for d, i in tables], axis=-1)
+            pd, pi = topk.merge_strips_packed(pd, pi, strips,
+                                              n_copies=n_tables + 1)
+        else:
+            sd, si = zip(*[
+                topk.table_topk_pos(jnp.asarray(d), jnp.asarray(i), p)
+                for d, i in tables])
+            pd, pi = topk.merge_strips_dedup_pos(
+                pd, pi, jnp.concatenate(sd, -1), jnp.concatenate(si, -1))
+    pd, pi = np.asarray(pd), np.asarray(pi)
+    expect = _oracle_topk(seen, p)
+    for i in range(q):
+        got = [(int(pd[i, j]), int(pi[i, j]))
+               for j in range(min(p, len(expect[i])))]
+        assert got == expect[i], (i, got, expect[i])
+        for j in range(len(expect[i]), p):
+            assert pi[i, j] == -1
+
+
+def test_strip_merge_packed_matches_oracle():
+    _run_strip_merge(packed_path=True)
+
+
+def test_strip_merge_pos_matches_oracle_small_ids():
+    _run_strip_merge(packed_path=False)
+
+
+def test_strip_merge_pos_matches_oracle_huge_ids():
+    # ids >= 2^24: the regime the packed path cannot represent
+    # (VERDICT r2 missing #3) — the pos path must be exact there
+    _run_strip_merge(packed_path=False, base=(1 << 25) + 12345,
+                     max_id=100_000_000)
+
+
+def test_strip_merge_wide_pool_approx_shape():
+    # approximate-mode shape: pool much wider than the candidate arrays
+    _run_strip_merge(packed_path=True, p=60, c=25, max_id=300)
+    _run_strip_merge(packed_path=False, p=60, c=25, max_id=300)
+
+
+def test_merge_topk_bitonic_matches_sort_merge():
+    rng = np.random.default_rng(11)
+    q, p, c = 4, 6, 19
+    pd0, pi0 = topk.empty_pool(q, p)
+    cd = rng.integers(0, 90, size=(q, c)).astype(np.int32)
+    ci = rng.integers(0, 1 << 28, size=(q, c)).astype(np.int32)
+    ci[0, 3] = -1
+    a_d, a_i = topk.merge_topk(pd0, pi0, jnp.asarray(cd), jnp.asarray(ci))
+    b_d, b_i = topk.merge_topk_bitonic(pd0, pi0, jnp.asarray(cd),
+                                       jnp.asarray(ci))
+    assert np.array_equal(np.asarray(a_d), np.asarray(b_d))
+    assert np.array_equal(np.asarray(a_i), np.asarray(b_i))

@@ -189,37 +189,50 @@ class _RespHandler(socketserver.StreamRequestHandler):
                 return
             verb = bytes(cmd[0]).upper()
             try:
-                if verb == b"PING":
-                    self.wfile.write(b"+PONG\r\n")
-                elif verb == b"SET" and len(cmd) >= 3:
-                    with lock:
-                        store.put(bytes(cmd[1]), bytes(cmd[2]))
-                    self.wfile.write(b"+OK\r\n")
-                elif verb == b"GET" and len(cmd) == 2:
-                    with lock:
-                        v = store.get(bytes(cmd[1]))
-                    if v is None:
-                        self.wfile.write(b"$-1\r\n")
-                    else:
-                        self.wfile.write(b"$%d\r\n%s\r\n" % (len(v), v))
-                elif verb == b"EXISTS" and len(cmd) == 2:
-                    with lock:
-                        n = 1 if store.contains(bytes(cmd[1])) else 0
-                    self.wfile.write(b":%d\r\n" % n)
-                elif verb == b"DEL" and len(cmd) >= 2:
-                    n = 0
-                    with lock:
-                        for k in cmd[1:]:
-                            n += 1 if store.remove(bytes(k)) else 0
-                    self.wfile.write(b":%d\r\n" % n)
-                elif verb == b"QUIT":
-                    self.wfile.write(b"+OK\r\n")
+                try:
+                    self._exec(store, lock, verb, cmd)
+                except (BrokenPipeError, ConnectionError):
                     return
-                else:
-                    self.wfile.write(b"-ERR unknown command\r\n")
+                except Exception as e:  # noqa: BLE001 — protocol error reply
+                    # a store failure (e.g. DHT capacity) must surface as a
+                    # RESP error, not a reset connection
+                    msg = f"{type(e).__name__}: {e}".encode()[:200]
+                    msg = msg.replace(b"\r", b" ").replace(b"\n", b" ")
+                    self.wfile.write(b"-ERR " + msg + b"\r\n")
+                if verb == b"QUIT":
+                    return
                 self.wfile.flush()
-            except BrokenPipeError:
+            except (BrokenPipeError, ConnectionError):
                 return
+
+    def _exec(self, store, lock, verb, cmd):
+        if verb == b"PING":
+            self.wfile.write(b"+PONG\r\n")
+        elif verb == b"SET" and len(cmd) >= 3:
+            with lock:
+                store.put(bytes(cmd[1]), bytes(cmd[2]))
+            self.wfile.write(b"+OK\r\n")
+        elif verb == b"GET" and len(cmd) == 2:
+            with lock:
+                v = store.get(bytes(cmd[1]))
+            if v is None:
+                self.wfile.write(b"$-1\r\n")
+            else:
+                self.wfile.write(b"$%d\r\n%s\r\n" % (len(v), v))
+        elif verb == b"EXISTS" and len(cmd) == 2:
+            with lock:
+                n = 1 if store.contains(bytes(cmd[1])) else 0
+            self.wfile.write(b":%d\r\n" % n)
+        elif verb == b"DEL" and len(cmd) >= 2:
+            n = 0
+            with lock:
+                for k in cmd[1:]:
+                    n += 1 if store.remove(bytes(k)) else 0
+            self.wfile.write(b":%d\r\n" % n)
+        elif verb == b"QUIT":
+            self.wfile.write(b"+OK\r\n")
+        else:
+            self.wfile.write(b"-ERR unknown command\r\n")
 
 
 class KVServer:

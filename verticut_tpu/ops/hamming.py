@@ -26,7 +26,10 @@ from verticut_tpu.ops import topk
 def _merge(pool, cd, ci, n, bits):
     if topk.can_pack(n - 1, bits):
         return topk.merge_topk_packed(pool[0], pool[1], cd, ci)
-    return topk.merge_topk(pool[0], pool[1], cd, ci)
+    # bitonic, not multi-key lax.sort: the variadic-sort lowering costs
+    # ~30 ms even at [1024, 200] (DESIGN.md §1) — the >2^24-id scan path
+    # (100M+) was paying it once per chunk
+    return topk.merge_topk_bitonic(pool[0], pool[1], cd, ci)
 
 
 def _pad_db(db: jax.Array, chunk: int):

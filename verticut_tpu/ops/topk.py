@@ -249,6 +249,240 @@ def chunk_topk_affine(dists: jax.Array, base, k: int, n_valid,
     return jnp.where(invalid, INF_DIST, d), gids
 
 
+def _xor_shuffle(x: jax.Array, stride: int) -> jax.Array:
+    """Element at index ``i ^ stride`` along the last axis, gather-free:
+    reshape [..., W] -> [..., W/2s, 2, s] and flip the middle axis —
+    a static layout permutation XLA lowers to cheap vector moves, not the
+    ~16-30 ns/element dynamic gathers of ``take_along_axis``."""
+    w = x.shape[-1]
+    lead = x.shape[:-1]
+    return (x.reshape(*lead, w // (2 * stride), 2, stride)[..., ::-1, :]
+            .reshape(*lead, w))
+
+
+def bitonic_sort_pairs(key: jax.Array, val: jax.Array):
+    """Sort ``(key uint32[..., W], val uint32[..., W])`` ascending by the
+    lexicographic pair ``(key, val)`` along the last axis. ``W`` must be a
+    power of two.
+
+    A classic bitonic network as ~log²(W)/2 compare-exchange stages of pure
+    element-wise VPU ops. This is the selection primitive that replaces
+    multi-key ``lax.sort`` on the narrow merge strips: a variadic sort on
+    TPU costs ~30 ms even at [1024, 200] (generic-comparator lowering,
+    DESIGN.md §1), while this network is a few element-wise passes. The TPU
+    analog of the reference master's ``std::map`` ordering
+    (``src/search_worker.cc:179-198``), batched over queries.
+    """
+    w = key.shape[-1]
+    assert w & (w - 1) == 0, f"bitonic width {w} not a power of two"
+    if w == 1:
+        return key, val
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    size = 2
+    while size <= w:
+        stride = size // 2
+        # ascending blocks where (idx & size) == 0, descending otherwise;
+        # the final pass (size == w) is all-ascending
+        asc = (idx & size) == 0 if size < w else jnp.ones_like(idx, jnp.bool_)
+        while stride >= 1:
+            pk = _xor_shuffle(key, stride)
+            pv = _xor_shuffle(val, stride)
+            lower = (idx & stride) == 0      # this lane holds the smaller
+            less = (key < pk) | ((key == pk) & (val < pv))
+            keep = jnp.where(lower == asc, less, ~less)
+            # tie (key == pk & val == pv): keep either copy — identical
+            keep = keep | ((key == pk) & (val == pv))
+            key = jnp.where(keep, key, pk)
+            val = jnp.where(keep, val, pv)
+            stride //= 2
+        size *= 2
+    return key, val
+
+
+# --------------------------------------------------------------------------
+# Strip merges: per-table pre-merge + narrow dedup merge.
+#
+# Within ONE table at ONE radius step every candidate id is unique: probes
+# are distinct buckets / distinct prefix ranges, hence disjoint row ranges
+# (the enumeration never visits a row twice). So a per-table top-P
+# selection provably retains every member of the global top-P distinct
+# set — if a winner's copy in table t fell outside t's top-P, the P
+# better entries of t are P distinct ids all ordered before it, a
+# contradiction. The flat dedup merge then runs at width (m+1)·P instead
+# of m·cap (5x narrower at k=100, where lax.top_k's full-sort cost is the
+# batch bottleneck — ROADMAP r2 #2 "per-table pre-merge").
+# --------------------------------------------------------------------------
+
+
+def _pow2ceil(x: int) -> int:
+    return 1 << max(0, int(x - 1).bit_length())
+
+
+def table_topk_packed(cand_dist: jax.Array, cand_id: jax.Array, p: int,
+                      block: int = 512) -> jax.Array:
+    """Per-table top-``p`` as inverted packed ``dist<<24 | id`` keys.
+
+    Requires ``can_pack`` bounds. ``[Q, C] -> uint32[Q, p]`` (descending
+    inverted = ascending (dist, id); empty slots = 0)."""
+    shift = jnp.uint32(PACKED_ID_BITS)
+    kc = jnp.where(cand_id >= 0,
+                   ~((cand_dist.astype(jnp.uint32) << shift)
+                     | cand_id.astype(jnp.uint32)), jnp.uint32(0))
+    c = kc.shape[-1]
+    if c > 2 * block and p < block:
+        q = kc.shape[0]
+        nb = -(-c // block)
+        if nb * block != c:
+            kc = jnp.pad(kc, ((0, 0), (0, nb * block - c)),
+                         constant_values=0)
+        kc = jax.lax.top_k(kc.reshape(q, nb, block), p)[0] \
+            .reshape(q, nb * p)
+    kk = min(p, kc.shape[-1])
+    return jax.lax.top_k(kc, kk)[0]
+
+
+def merge_strips_packed(pool_dist: jax.Array, pool_id: jax.Array,
+                        strips: jax.Array, n_copies: int):
+    """Dedup merge of the pool with pre-merged per-table strips.
+
+    ``strips: uint32[Q, S]`` inverted packed keys (from
+    :func:`table_topk_packed`, concatenated over tables/shards);
+    ``n_copies`` bounds the copies one id can have across pool + strips
+    (= n_tables + 1 single-device; tables·shards + 1 sharded). Duplicates
+    are bitwise-equal keys — sort, invalidate adjacent, re-select."""
+    p = pool_dist.shape[-1]
+    shift = jnp.uint32(PACKED_ID_BITS)
+    kp = jnp.where(pool_id >= 0,
+                   ~((pool_dist.astype(jnp.uint32) << shift)
+                     | pool_id.astype(jnp.uint32)), jnp.uint32(0))
+    keys = jnp.concatenate([kp, strips], axis=-1)
+    width = keys.shape[-1]
+    m = min(p * n_copies, width)
+    top = jax.lax.top_k(keys, m)[0]
+    dup = jnp.concatenate(
+        [jnp.zeros_like(top[..., :1], jnp.bool_),
+         (top[..., 1:] == top[..., :-1]) & (top[..., 1:] != jnp.uint32(0))],
+        axis=-1)
+    top = jnp.where(dup, jnp.uint32(0), top)
+    kk = min(p, m)
+    out = jax.lax.top_k(top, kk)[0]
+    if kk < p:
+        out = jnp.pad(out, ((0, 0), (0, p - kk)), constant_values=0)
+    packed = ~out
+    invalid = out == jnp.uint32(0)
+    pid = jnp.where(invalid, INVALID_ID,
+                    (packed & jnp.uint32((1 << PACKED_ID_BITS) - 1))
+                    .astype(jnp.int32))
+    pd = jnp.where(invalid, INF_DIST, (packed >> shift).astype(jnp.int32))
+    return pd, pid
+
+
+def table_topk_pos(cand_dist: jax.Array, cand_id: jax.Array, p: int,
+                   block: int = 512):
+    """Per-table top-``p`` for UNBOUNDED ids: select by packed
+    ``(dist8, pos24)`` keys (pos = slot in the candidate axis, always
+    < 2^24), then recover the winners' ids with one narrow gather.
+
+    ``[Q, C] -> (dist int32[Q, p], id int32[Q, p])``. This is what removes
+    the 2^24-id ceiling of the packed path (VERDICT r2 missing #3): above
+    16.7M codes the old fallback was a multi-key ``lax.sort`` per merge
+    (~30 ms per [1024, 200] operand)."""
+    q, c = cand_dist.shape
+    assert c < (1 << PACKED_ID_BITS), f"candidate width {c} >= 2^24"
+    pos = jax.lax.broadcasted_iota(jnp.uint32, (1, c), 1)
+    shift = jnp.uint32(PACKED_ID_BITS)
+    kc = jnp.where(cand_id >= 0,
+                   ~((cand_dist.astype(jnp.uint32) << shift) | pos),
+                   jnp.uint32(0))
+    if c > 2 * block and p < block:
+        nb = -(-c // block)
+        if nb * block != c:
+            kc = jnp.pad(kc, ((0, 0), (0, nb * block - c)),
+                         constant_values=0)
+        kc = jax.lax.top_k(kc.reshape(q, nb, block), p)[0] \
+            .reshape(q, nb * p)
+    kk = min(p, kc.shape[-1])
+    top = jax.lax.top_k(kc, kk)[0]
+    packed = ~top
+    invalid = top == jnp.uint32(0)
+    sel = jnp.clip((packed & jnp.uint32((1 << PACKED_ID_BITS) - 1))
+                   .astype(jnp.int32), 0, c - 1)
+    sid = jnp.take_along_axis(cand_id, sel, axis=-1)
+    sd = (packed >> shift).astype(jnp.int32)
+    return (jnp.where(invalid, INF_DIST, sd),
+            jnp.where(invalid, INVALID_ID, sid))
+
+
+def merge_strips_dedup_pos(pool_dist: jax.Array, pool_id: jax.Array,
+                           strip_dist: jax.Array, strip_id: jax.Array):
+    """Dedup merge of explicit (dist, id) strips — unbounded ids.
+
+    Dedup: bitonic-sort the (pow2-padded) concatenated strip by id (pure
+    element-wise network, no gathers, no variadic sort); duplicates land
+    adjacent and carry identical dists (distance is a function of the id),
+    so all-but-first are invalidated by one shifted compare. Final
+    selection: pack ``(dist8, slot)`` — slot in the id-sorted strip, so
+    equal-dist ties resolve to the smaller id — one narrow ``top_k``, one
+    [Q, P] gather."""
+    p = pool_dist.shape[-1]
+    d = jnp.concatenate([pool_dist, strip_dist], axis=-1)
+    i = jnp.concatenate([pool_id, strip_id], axis=-1)
+    w = _pow2ceil(d.shape[-1])
+    if w > d.shape[-1]:
+        pad = w - d.shape[-1]
+        d = jnp.pad(d, ((0, 0), (0, pad)), constant_values=int(INF_DIST))
+        i = jnp.pad(i, ((0, 0), (0, pad)), constant_values=-1)
+    # id -1 -> 0xFFFFFFFF sorts last
+    ui = i.astype(jnp.uint32)
+    ui, ud = bitonic_sort_pairs(ui, d.astype(jnp.uint32))
+    dup = jnp.concatenate(
+        [jnp.zeros_like(ui[..., :1], jnp.bool_),
+         (ui[..., 1:] == ui[..., :-1]) & (ui[..., 1:] != _UMAX)], axis=-1)
+    valid = (ui != _UMAX) & ~dup
+    slot_bits = max(1, (w - 1).bit_length())
+    slot = jax.lax.broadcasted_iota(jnp.uint32, (1, w), 1)
+    keys = jnp.where(valid,
+                     ~((ud << jnp.uint32(slot_bits)) | slot), jnp.uint32(0))
+    kk = min(p, w)
+    top = jax.lax.top_k(keys, kk)[0]
+    packed = ~top
+    invalid = top == jnp.uint32(0)
+    sel = jnp.clip((packed & jnp.uint32((1 << slot_bits) - 1))
+                   .astype(jnp.int32), 0, w - 1)
+    out_i = jnp.take_along_axis(ui, sel, axis=-1).astype(jnp.int32)
+    out_d = (packed >> jnp.uint32(slot_bits)).astype(jnp.int32)
+    out_d = jnp.where(invalid, INF_DIST, out_d)
+    out_i = jnp.where(invalid, INVALID_ID, out_i)
+    if kk < p:
+        out_d = jnp.pad(out_d, ((0, 0), (0, p - kk)),
+                        constant_values=int(INF_DIST))
+        out_i = jnp.pad(out_i, ((0, 0), (0, p - kk)), constant_values=-1)
+    return out_d, out_i
+
+
+def merge_topk_bitonic(pool_dist: jax.Array, pool_id: jax.Array,
+                       cand_dist: jax.Array, cand_id: jax.Array):
+    """No-dedup merge for unbounded ids via the bitonic network — the
+    (dist, id)-lexicographic selection of :func:`merge_topk` without its
+    multi-key ``lax.sort`` (which TPU lowers through a generic comparator,
+    ~30 ms per [1024, 200] operand). Used by the >2^24-id scan path."""
+    p = pool_dist.shape[-1]
+    d = jnp.concatenate([pool_dist, cand_dist], axis=-1)
+    i = jnp.concatenate([pool_id, cand_id], axis=-1)
+    w = _pow2ceil(d.shape[-1])
+    if w > d.shape[-1]:
+        pad = w - d.shape[-1]
+        d = jnp.pad(d, ((0, 0), (0, pad)), constant_values=int(INF_DIST))
+        i = jnp.pad(i, ((0, 0), (0, pad)), constant_values=-1)
+    ud = jnp.where(i < 0, jnp.uint32(INF_DIST), d.astype(jnp.uint32))
+    ud, ui = bitonic_sort_pairs(ud, i.astype(jnp.uint32))
+    d_out = ud[..., :p].astype(jnp.int32)
+    i_out = ui[..., :p].astype(jnp.int32)
+    bad = (i_out < 0) | (d_out >= INF_DIST)
+    return (jnp.where(bad, INF_DIST, d_out),
+            jnp.where(bad, INVALID_ID, i_out))
+
+
 def kth_stats(pool_dist: jax.Array, pool_id: jax.Array, k: int):
     """(pool has >= k valid entries, distance of the kth entry) per query."""
     full = pool_id[..., k - 1] >= 0

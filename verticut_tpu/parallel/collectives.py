@@ -44,6 +44,16 @@ def gather_candidates(cand_dist: jax.Array, cand_id: jax.Array,
             jnp.moveaxis(gi, 0, 1).reshape(gi.shape[1], d))
 
 
+def gather_strips(strips: jax.Array, axes: Axis) -> jax.Array:
+    """All-gather a single pre-merged strip array ``[Q, S] ->
+    [Q, n_devices*S]``. Per-device pre-merge (ops/topk.table_topk_*)
+    shrinks the per-radius collective payload from m·cap candidate slots
+    to pool_size keys per device — the all_gather rides ICI either way,
+    but the merge behind it gets (m+1)·P-wide operands instead of m·cap."""
+    g = jax.lax.all_gather(strips, axes, axis=0)       # [D, Q, S]
+    return jnp.moveaxis(g, 0, 1).reshape(g.shape[1], g.shape[0] * g.shape[2])
+
+
 def reduce_any(flag: jax.Array, axes: Axis) -> jax.Array:
     """Logical-OR reduce of a boolean across mesh axes."""
     return jax.lax.psum(flag.astype(jnp.int32), axes) > 0

@@ -203,16 +203,27 @@ def _device_radius_step(entry_rows, se, queries, q_subs, masks,
         total_c = total_c + jnp.sum(hi - lo, axis=-1)
         overflow_l = overflow_l | ovf
 
-    cd = jnp.concatenate(all_d, axis=-1)
-    ci = jnp.concatenate(all_i, axis=-1)
-    # the MPI_Gatherv analog: fixed-capacity all-gather over ICI
-    gd, gi = collectives.gather_candidates(cd, ci, gather_axes)
+    # Per-local-table pre-merge BEFORE the collective: ids are unique
+    # within one (table, shard) slice at one radius (disjoint clamped
+    # ranges), so local top-P strips retain every global winner, and the
+    # MPI_Gatherv-analog all_gather ships pool_size keys per device
+    # instead of m·cap candidate slots (ops/topk.py strip-merge rationale).
+    p = state.pool_dist.shape[-1]
     if topk.can_pack(n_total - 1, queries.shape[-1] * 32):
-        pd, pi = topk.merge_topk_dedup_packed(
-            state.pool_dist, state.pool_id, gd, gi,
-            n_dup=state.pool_dist.shape[-1] * n_tables)
+        strips_l = jnp.concatenate(
+            [topk.table_topk_packed(d, i, p)
+             for d, i in zip(all_d, all_i)], axis=-1)
+        strips = collectives.gather_strips(strips_l, gather_axes)
+        pd, pi = topk.merge_strips_packed(
+            state.pool_dist, state.pool_id, strips, n_copies=n_tables + 1)
     else:
-        pd, pi = topk.merge_topk_dedup(state.pool_dist, state.pool_id, gd, gi)
+        sd, si = zip(*[topk.table_topk_pos(d, i, p)
+                       for d, i in zip(all_d, all_i)])
+        gd, gi = collectives.gather_candidates(
+            jnp.concatenate(sd, axis=-1), jnp.concatenate(si, axis=-1),
+            gather_axes)
+        pd, pi = topk.merge_strips_dedup_pos(
+            state.pool_dist, state.pool_id, gd, gi)
 
     if approximate:
         newly_done = pi[:, -1] >= 0
@@ -277,7 +288,7 @@ def _device_linear(codes_loc, queries, k, n_loc, n_total):
     d = jnp.where(ok, d, topk.INF_DIST)
     gd, gi = collectives.gather_candidates(d, i, ("table", "shard"))
     pd, pi = topk.empty_pool(queries.shape[0], k)
-    return topk.merge_topk(pd, pi, gd, gi)
+    return topk.merge_topk_bitonic(pd, pi, gd, gi)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "k", "n_total"))
@@ -390,7 +401,10 @@ def _sharded_fused_search(index: ShardedMIHIndex, queries,
         nq_loc if i == 0 else max(64, nq_loc >> (3 + 2 * (i - 1)))
         for i in range(len(schedule)))
     masks_tuple = tuple(_device_masks(index.pbits, g) for _, g in schedule)
-    retry_caps = tuple(min(c * 4, max(scfg.candidate_cap, c)) for c in caps)
+    # x2, matching the single-device driver's measured sizing (commit
+    # "Halve the device-retry caps"): covers the clustered hot range at
+    # half the cost; rare double-overflows take the host retry (x4)
+    retry_caps = tuple(min(c * 2, max(scfg.candidate_cap, c)) for c in caps)
     packed = sharded_fused_packed(
         mesh, index.entry_rows, index.se, index.codes, queries, masks_tuple,
         schedule=schedule, caps=caps, batch_caps=batch_caps,
@@ -462,17 +476,22 @@ def sharded_mih_search(index: ShardedMIHIndex, queries,
 
     redo = overflow & ~not_done
     base_cap = _cap or scfg.candidate_cap
-    if redo.any() and base_cap < index.n:
-        # pad the retry subset to the query-axis multiple
-        idxs = np.nonzero(redo)[0]
-        nq_ax = mesh.shape["query"]
-        n_pad = (-len(idxs)) % nq_ax
-        take = np.concatenate([idxs, np.repeat(idxs[:1], n_pad)])
-        sub = sharded_mih_search(index, np.asarray(queries)[take], scfg,
-                                 _cap=min(base_cap * 4, max(index.n, 8)))
-        dists[idxs] = sub.dists[:len(idxs)]
-        ids[idxs] = sub.ids[:len(idxs)]
-        radius[idxs] = sub.radius[:len(idxs)]
+    if redo.any():
+        if base_cap < index.n:
+            # pad the retry subset to the query-axis multiple
+            idxs = np.nonzero(redo)[0]
+            nq_ax = mesh.shape["query"]
+            n_pad = (-len(idxs)) % nq_ax
+            take = np.concatenate([idxs, np.repeat(idxs[:1], n_pad)])
+            sub = sharded_mih_search(index, np.asarray(queries)[take], scfg,
+                                     _cap=min(base_cap * 4, max(index.n, 8)))
+            dists[idxs] = sub.dists[:len(idxs)]
+            ids[idxs] = sub.ids[:len(idxs)]
+            radius[idxs] = sub.radius[:len(idxs)]
+        else:
+            # terminal cap still clipped (block-granular budgets): never
+            # drop an overflow flag — take the exact linear fallback
+            not_done = not_done | redo
 
     if not_done.any():
         idxs = np.nonzero(not_done)[0]

@@ -266,17 +266,24 @@ def radius_step(tables: Tuple[MIHTable, ...], all_codes: Optional[jax.Array],
         n_probes = n_probes + npb
         n_nonempty = n_nonempty + nne
 
-    cd = jnp.concatenate(cands_d, axis=-1)
-    ci = jnp.concatenate(cands_i, axis=-1)
+    # Per-table pre-merge to pool_size-wide strips (ids are unique within
+    # a table at one radius step — disjoint probe ranges), then one narrow
+    # dedup merge; see ops/topk.py strip-merge rationale.
     max_id = max(t.n_entries for t in tables)
     bits = queries.shape[-1] * 32
+    p = state.pool_dist.shape[-1]
     if topk.can_pack(max_id - 1, bits):
-        pool_size_ = state.pool_dist.shape[-1]
-        pd, pi = topk.merge_topk_dedup_packed(
-            state.pool_dist, state.pool_id, cd, ci,
-            n_dup=pool_size_ * n_tables)
+        strips = jnp.concatenate(
+            [topk.table_topk_packed(d, i, p)
+             for d, i in zip(cands_d, cands_i)], axis=-1)
+        pd, pi = topk.merge_strips_packed(
+            state.pool_dist, state.pool_id, strips, n_copies=n_tables + 1)
     else:
-        pd, pi = topk.merge_topk_dedup(state.pool_dist, state.pool_id, cd, ci)
+        sd, si = zip(*[topk.table_topk_pos(d, i, p)
+                       for d, i in zip(cands_d, cands_i)])
+        pd, pi = topk.merge_strips_dedup_pos(
+            state.pool_dist, state.pool_id,
+            jnp.concatenate(sd, axis=-1), jnp.concatenate(si, axis=-1))
 
     if approximate:
         # Stop when the k*factor pool fills (search_worker.cc:136-137).
@@ -299,6 +306,20 @@ def radius_step(tables: Tuple[MIHTable, ...], all_codes: Optional[jax.Array],
 
 def _pow2ceil(x: int) -> int:
     return 1 << max(0, int(x - 1).bit_length())
+
+
+def _check_bitmap_engine(index: MIHIndex, scfg: SearchConfig) -> None:
+    """``use_bitmap`` is a legacy-bucket-engine feature: the range engine
+    reads whole prefix ranges, so bucket occupancy is answered by the
+    (start, end) pair it fetches anyway (DESIGN.md §5). A silently ignored
+    config knob is a lie — reject it loudly."""
+    if scfg.use_bitmap and isinstance(index.tables[0].directory,
+                                      dir_lib.RangeDirectory):
+        raise ValueError(
+            "use_bitmap=True has no effect on the range-directory engine "
+            "(range fetches subsume the occupancy test; DESIGN.md §5) — "
+            "build with directory='dense'/'hash' + with_bitmap=True to use "
+            "the bitmap filter, or drop use_bitmap")
 
 
 def _index_mask_bits(index: MIHIndex) -> int:
@@ -671,6 +692,7 @@ def mih_search_dispatch(index: MIHIndex, queries,
     """
     if not scfg.fused:
         return None
+    _check_bitmap_engine(index, scfg)
     cfg = index.cfg
     queries = jnp.asarray(queries, jnp.uint32)
     nq = queries.shape[0]
@@ -762,20 +784,28 @@ def _apply_fallbacks(index, queries, scfg, _cap, k, dists, ids, radius,
     redo = overflow & ~not_done
     base_cap = _cap or scfg.candidate_cap
     queries0 = None
-    if redo.any() and base_cap < index.n:
-        queries0 = np.asarray(queries)
-        idxs = np.nonzero(redo)[0]
-        new_cap = min(base_cap * 4, max(index.n, 8))
-        # memory guard: retry batches at quadrupled caps allocate
-        # nq * cap * m candidate slots — slice the batch so the slot
-        # tensor stays bounded (~0.5 GB of int32 pairs)
-        max_rows = max(64, (1 << 25) // max(new_cap, 1))
-        for lo in range(0, len(idxs), max_rows):
-            part = idxs[lo:lo + max_rows]
-            sub = mih_search(index, queries0[part], scfg, _cap=new_cap)
-            dists[part] = sub.dists
-            ids[part] = sub.ids
-            radius[part] = sub.radius
+    if redo.any():
+        if base_cap < index.n:
+            queries0 = np.asarray(queries)
+            idxs = np.nonzero(redo)[0]
+            new_cap = min(base_cap * 4, max(index.n, 8))
+            # memory guard: retry batches at quadrupled caps allocate
+            # nq * cap * m candidate slots — slice the batch so the slot
+            # tensor stays bounded (~0.5 GB of int32 pairs)
+            max_rows = max(64, (1 << 25) // max(new_cap, 1))
+            for lo in range(0, len(idxs), max_rows):
+                part = idxs[lo:lo + max_rows]
+                sub = mih_search(index, queries0[part], scfg, _cap=new_cap)
+                dists[part] = sub.dists
+                ids[part] = sub.ids
+                radius[part] = sub.radius
+        else:
+            # Terminal cap (>= n) STILL overflowed: range-engine budgets are
+            # consumed in whole fetch blocks (+1 block per straddling
+            # probe), so cap >= n does not prove completeness. Never drop a
+            # set overflow flag — route these queries to the provably exact
+            # linear scan instead (exactness contract, DESIGN.md §2).
+            not_done = not_done | redo
 
     if not_done.any():
         if index.codes is None:
@@ -808,6 +838,7 @@ def mih_search(index: MIHIndex, queries, scfg: SearchConfig = SearchConfig(),
     see ops/enumeration.enumeration_cost).
     """
     cfg = index.cfg
+    _check_bitmap_engine(index, scfg)
     queries = jnp.asarray(queries, jnp.uint32)
     nq = queries.shape[0]
     k, pool_size = scfg.knn, scfg.pool_size

@@ -97,6 +97,9 @@ class ImageSearchServer:
         # micro-batching state: (knn, approx) -> [(slot, event), ...]
         self._pending: dict = {}
         self._q_lock = threading.Lock()
+        # waiters block on this condition; notified at every batch
+        # completion and leadership release (no polling latency)
+        self._cv = threading.Condition()
 
     # -- dispatch (the image_search_server.cc:22-48 analog) ------------------
 
@@ -140,18 +143,23 @@ class ImageSearchServer:
         with self._q_lock:
             self._pending.setdefault(key, []).append((slot, evt))
         self._run_or_wait(key, evt)
+        if isinstance(slot[1], BaseException):
+            raise RuntimeError(
+                f"batch leader failed: {slot[1]}") from slot[1]
         return slot[1]
 
     def _run_or_wait(self, key, evt):
         # One thread at a time is the batch leader (device work serialized);
-        # everyone else polls until their event is set. The leader keeps up
-        # to TWO device batches in flight (dispatch the next before
-        # finalizing the previous) so device work overlaps the host sync —
-        # the serving analog of the bench's pipelined throughput mode.
+        # everyone else waits on the condition until their event is set.
+        # The leader keeps up to TWO device batches in flight (dispatch the
+        # next before finalizing the previous) so device work overlaps the
+        # host sync — the serving analog of the bench's pipelined
+        # throughput mode.
         while not evt.is_set():
             if self._lock.acquire(blocking=False):
+                inflight = None
+                batch = []
                 try:
-                    inflight = None
                     while True:
                         if evt.is_set():
                             # our request is answered: drain the handle we
@@ -176,10 +184,28 @@ class ImageSearchServer:
                             self._execute_sync(key, batch)
                         else:
                             inflight = (batch,) + dispatched
+                            batch = []
+                except BaseException as e:
+                    # a failing leader must never strand its waiters in the
+                    # wait loop: deliver the error to every request whose
+                    # event is still pending, then re-raise on the wire
+                    for blist in ((inflight[0] if inflight else []), batch):
+                        for slot, ev in blist:
+                            if not ev.is_set():
+                                slot[1] = e
+                                ev.set()
+                    raise
                 finally:
                     self._lock.release()
+                    with self._cv:
+                        self._cv.notify_all()
             else:
-                evt.wait(timeout=0.05)
+                with self._cv:
+                    # re-check under the condition: a completion/release
+                    # between our failed acquire and this wait would
+                    # otherwise be missed
+                    if not evt.is_set() and self._lock.locked():
+                        self._cv.wait(timeout=1.0)
 
     def _pad_batch(self, batch):
         qs = [slot[0] for slot, _ in batch]
@@ -228,8 +254,7 @@ class ImageSearchServer:
         res = sharded_mih_search(self.index, queries, scfg)
         self._distribute(batch, sizes, res)
 
-    @staticmethod
-    def _distribute(batch, sizes, res):
+    def _distribute(self, batch, sizes, res):
         lo = 0
         for (slot, evt), sz in zip(batch, sizes):
             rows = []
@@ -239,6 +264,8 @@ class ImageSearchServer:
             slot[1] = rows
             evt.set()
             lo += sz
+        with self._cv:
+            self._cv.notify_all()
 
     # -- lifecycle -----------------------------------------------------------
 
