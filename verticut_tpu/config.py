@@ -99,10 +99,13 @@ class SearchConfig:
     fused: bool = True
     # Largest per-group mask count admitted into the fused program; later
     # radii (C(32,4)=36k masks legacy, C(17,3)=680 range-engine) blow
-    # compile time and HBM for their intermediates and cover a vanishing
-    # fraction of queries — the stragglers take the exact brute-force scan
-    # instead (in-device scan stage when the fused driver runs, host
-    # fallback otherwise).
+    # HBM for their probe intermediates and cover a vanishing fraction of
+    # queries — the stragglers take the exact brute-force scan instead
+    # (in-device scan stage when the fused driver runs, host fallback
+    # otherwise). Admitting r3 (680 masks) was MEASURED SLOWER end to end
+    # at 1M (BENCH r3: k10 150k -> 89k, k100 19.4k -> 5k): the deep-stage
+    # fixed cost dwarfs its 3-per-8192-query coverage, and k=100's
+    # mid-depth queries resolve cheaper in the batched scan tier.
     fused_max_masks: int = 512
     # Switch to the brute-force scan once enumerating the next radius costs
     # more probes than scanning the whole DB costs distance evaluations

@@ -93,9 +93,11 @@ def scan_pallas(queries: jax.Array, db: jax.Array, k: int,
     return pd[:q], pi[:q]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk", "block"))
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "block",
+                                             "engine"))
 def scan_blockmin(queries: jax.Array, db: jax.Array, k: int,
-                  chunk: int = 65536, block: int = 512):
+                  chunk: int = 65536, block: int = 512,
+                  engine: str = "auto"):
     """Exact top-k via block-min pre-selection — the TPU-native selection.
 
     Any per-chunk ``top_k`` over the [Q, N] distance matrix costs a sort
@@ -129,25 +131,39 @@ def scan_blockmin(queries: jax.Array, db: jax.Array, k: int,
     nb = n_pad_rows // block
     pos0 = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
-    # fori_loop + dynamic_slice, NOT a [C, chunk, w] reshape + lax.scan:
-    # reshaping a [N, w] corpus to 3-D forces a lane-padded tiled copy
-    # (w=4 pads to 128 lanes -> 32x bytes, fatal at 100M)
-    def body(i, blk_min):
-        base = i * chunk
-        chunk_codes = jax.lax.dynamic_slice(db_p, (base, 0), (chunk, w))
-        dpm = codes_lib.unpack_bits_pm1(chunk_codes)
-        dot = jax.lax.dot_general(
-            qpm, dpm, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        d = ((bits - dot) * 0.5).astype(jnp.int32)
-        d = jnp.where(pos0 + base < n, d, topk.INF_DIST)  # mask pad rows
-        bm = jnp.min(d.reshape(q, chunk // block, block), axis=-1)
-        return jax.lax.dynamic_update_slice(
-            blk_min, bm, (0, i * (chunk // block)))
+    if engine == "auto":
+        engine = ("pallas" if jax.devices()[0].platform == "tpu"
+                  else "xla")
+    if engine == "pallas" and chunk % (128 * block) == 0:
+        # fused unpack+GEMM+min-epilogue kernel: the [Q, chunk] distance
+        # slab never touches HBM (pass 1 alone measured 232 ms -> the
+        # kernel's traffic bound is 16 B/db code; VERDICT r2 #4)
+        from verticut_tpu.ops.pallas import pallas_blockmin
+        qp = (-q) % 256
+        q_pad = jnp.concatenate(
+            [queries, jnp.broadcast_to(queries[:1], (qp, w))]) \
+            if qp else queries
+        blk_min = pallas_blockmin(q_pad, db_p, n, block=block)[:q]
+    else:
+        # fori_loop + dynamic_slice, NOT a [C, chunk, w] reshape +
+        # lax.scan: reshaping a [N, w] corpus to 3-D forces a lane-padded
+        # tiled copy (w=4 pads to 128 lanes -> 32x bytes, fatal at 100M)
+        def body(i, blk_min):
+            base = i * chunk
+            chunk_codes = jax.lax.dynamic_slice(db_p, (base, 0), (chunk, w))
+            dpm = codes_lib.unpack_bits_pm1(chunk_codes)
+            dot = jax.lax.dot_general(
+                qpm, dpm, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            d = ((bits - dot) * 0.5).astype(jnp.int32)
+            d = jnp.where(pos0 + base < n, d, topk.INF_DIST)  # pad rows
+            bm = jnp.min(d.reshape(q, chunk // block, block), axis=-1)
+            return jax.lax.dynamic_update_slice(
+                blk_min, bm, (0, i * (chunk // block)))
 
-    blk_min = jax.lax.fori_loop(
-        0, n_chunks, body,
-        jnp.full((q, nb), topk.INF_DIST, jnp.int32))
+        blk_min = jax.lax.fori_loop(
+            0, n_chunks, body,
+            jnp.full((q, nb), topk.INF_DIST, jnp.int32))
 
     kb = min(k, nb)
     _, bidx = jax.lax.top_k(-blk_min, kb)                 # stable: ties ->

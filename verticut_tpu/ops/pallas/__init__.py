@@ -1,1 +1,2 @@
-from verticut_tpu.ops.pallas.linear_scan import pallas_pairwise_hamming  # noqa: F401
+from verticut_tpu.ops.pallas.linear_scan import (  # noqa: F401
+    pallas_blockmin, pallas_pairwise_hamming)

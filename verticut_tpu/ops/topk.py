@@ -300,6 +300,100 @@ def bitonic_sort_pairs(key: jax.Array, val: jax.Array):
 
 
 # --------------------------------------------------------------------------
+# Tournament top-k: selection without XLA's sort lowering.
+#
+# lax.top_k / lax.sort on TPU compile CATASTROPHICALLY on wide operands —
+# measured on this rig: a single top_k over [8192, 3132] uint32 takes >13
+# minutes of remote compile (a tiny program compiles in 0.6 s), and the
+# cost grows with the sorted width. That one lowering was the entire 799 s
+# r2 bench warmup and the reason approximate k>=500 "compiles for tens of
+# minutes". The replacement: block-sort P-wide tiles with a bitonic
+# network, then a tournament of pairwise sorted-merges, keeping the top P
+# per node (max(a_i, rev(b)_i) is the top-P multiset of two sorted-desc
+# P-sequences, and is bitonic, so one log P merge phase re-sorts it).
+# Everything is element-wise compare/select + static layout shuffles:
+# compile is seconds, runtime is the same O(W log P) compare work the
+# hardware would do inside a monolithic sort — without its compile bill.
+# --------------------------------------------------------------------------
+
+
+def _bitonic_merge_desc(key: jax.Array) -> jax.Array:
+    """Sort a bitonic last axis descending: log2(W) compare-exchange
+    stages (the merge half of the bitonic network)."""
+    w = key.shape[-1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1,) * (key.ndim - 1) + (w,),
+                                   key.ndim - 1)
+    stride = w // 2
+    while stride >= 1:
+        pk = _xor_shuffle(key, stride)
+        lower = (idx & stride) == 0
+        keep = jnp.where(lower, key >= pk, key <= pk)
+        key = jnp.where(keep, key, pk)
+        stride //= 2
+    return key
+
+
+def _bitonic_sort_desc(key: jax.Array) -> jax.Array:
+    """Full descending bitonic sort of the last axis (pow2 width)."""
+    w = key.shape[-1]
+    if w == 1:
+        return key
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1,) * (key.ndim - 1) + (w,),
+                                   key.ndim - 1)
+    size = 2
+    while size <= w:
+        # descending blocks where (idx & size) == 0
+        desc = (idx & size) == 0 if size < w \
+            else jnp.ones_like(idx, jnp.bool_)
+        stride = size // 2
+        while stride >= 1:
+            pk = _xor_shuffle(key, stride)
+            lower = (idx & stride) == 0
+            gt = key >= pk
+            keep = jnp.where(lower == desc, gt, ~gt)
+            key = jnp.where(keep, key, pk)
+            stride //= 2
+        size *= 2
+    return key
+
+
+def topk_desc(keys: jax.Array, p: int) -> jax.Array:
+    """Largest ``p`` of the last axis, sorted descending — the lax.top_k
+    replacement for uint32 keys (values only; encode any payload into the
+    key bits). Padding/invalid convention: 0 is the worst key.
+
+    ``[..., W] -> [..., p]``. Compile-time O(log²p + log(W/p)·log p)
+    element-wise stages vs. lax.top_k's pathological sort lowering."""
+    w = keys.shape[-1]
+    if w <= p:
+        w2 = _pow2ceil(max(w, 1))
+        if w2 > w:
+            keys = jnp.pad(keys, [(0, 0)] * (keys.ndim - 1) + [(0, w2 - w)])
+        out = _bitonic_sort_desc(keys)
+        if out.shape[-1] < p:
+            out = jnp.pad(out, [(0, 0)] * (out.ndim - 1)
+                          + [(0, p - out.shape[-1])])
+        return out[..., :p]
+    p2 = _pow2ceil(p)
+    nb = -(-w // p2)
+    pad = nb * p2 - w
+    if pad:
+        keys = jnp.pad(keys, [(0, 0)] * (keys.ndim - 1) + [(0, pad)])
+    lead = keys.shape[:-1]
+    x = keys.reshape(*lead, nb, p2)
+    x = _bitonic_sort_desc(x)
+    while x.shape[-2] > 1:
+        m = x.shape[-2]
+        if m % 2:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, 1), (0, 0)])
+            m += 1
+        a = x[..., 0::2, :]
+        b = x[..., 1::2, ::-1]
+        x = _bitonic_merge_desc(jnp.maximum(a, b))
+    return x[..., 0, :p]
+
+
+# --------------------------------------------------------------------------
 # Strip merges: per-table pre-merge + narrow dedup merge.
 #
 # Within ONE table at ONE radius step every candidate id is unique: probes

@@ -427,8 +427,12 @@ def fused_pipeline(tables, all_codes, queries, q_subs, masks_tuple,
 
         def scan_fn(sq):
             # block-min pre-selection scan: MXU GEMM + per-block minima,
-            # selection over blocks only (ops/hamming.scan_blockmin)
-            return hamming.scan_blockmin(sq, all_codes, knn)
+            # selection over blocks only (ops/hamming.scan_blockmin).
+            # Smaller blocks at large k: the rescore gathers k blocks per
+            # query, so the gather bill is k*block rows — at k=100,
+            # block=512 is 51k rows/query while 128 is 12.8k.
+            return hamming.scan_blockmin(sq, all_codes, knn,
+                                         block=512 if knn <= 32 else 128)
 
     return run_pipeline(step_fn, scan_fn, queries, q_subs, state0,
                         schedule=schedule, caps=caps, batch_caps=batch_caps,
@@ -539,45 +543,55 @@ def run_pipeline(step_fn, scan_fn, queries, q_subs, state0: SearchState, *,
             overflow=_blend(full.overflow, rfull.overflow))
 
     if scan_budget and scan_fn is not None:
-        flag = ~full.done
-        idx = jnp.arange(nq, dtype=jnp.int32)
-        _, perm = jax.lax.sort((full.done.astype(jnp.int32), idx),
-                               num_keys=2)
-        # More stragglers than the budget is NOT a failure: the excess
-        # stay not-done and the host linear fallback scans them (one
-        # extra round trip; uniform-random workloads where enumeration
-        # can't finish take that path wholesale).
-        sel = perm[:scan_budget]
-        n_sc = jnp.sum(flag.astype(jnp.int32))
-        flag_sel = flag[sel]
-        sq = queries[sel]
+        # Tiered scan: a small tier catches the common handful of
+        # stragglers; the full-batch tier lax.cond-skips entirely unless
+        # the small one was outgrown (scan-dominated workloads — uniform
+        # queries, large k — where the whole batch lands here and used to
+        # spill to the host fallback one relay round trip later). Paying
+        # the full-size scan unconditionally was measured at +38 ms per
+        # k=10 batch for 3 stragglers (BENCH r3), hence the tiers.
+        budgets = [min(scan_budget, nq)]
+        if budgets[0] < nq:
+            budgets.append(nq)
+        for budget in budgets:
+            flag = ~full.done
+            idx = jnp.arange(nq, dtype=jnp.int32)
+            _, perm = jax.lax.sort((full.done.astype(jnp.int32), idx),
+                                   num_keys=2)
+            sel = perm[:budget]
+            n_sc = jnp.sum(flag.astype(jnp.int32))
+            flag_sel = flag[sel]
+            sq = queries[sel]
+            run = (n_sc > 0) if budget == nq else \
+                ((n_sc > 0) & (n_sc <= budget))
 
-        def _scan(sq):
-            d, i = scan_fn(sq)
-            if pool_size > knn:
-                d = jnp.pad(d, ((0, 0), (0, pool_size - knn)),
-                            constant_values=int(topk.INF_DIST))
-                i = jnp.pad(i, ((0, 0), (0, pool_size - knn)),
-                            constant_values=-1)
-            return d, i
+            def _scan(sq):
+                d, i = scan_fn(sq)
+                if pool_size > knn:
+                    d = jnp.pad(d, ((0, 0), (0, pool_size - knn)),
+                                constant_values=int(topk.INF_DIST))
+                    i = jnp.pad(i, ((0, 0), (0, pool_size - knn)),
+                                constant_values=-1)
+                return d, i
 
-        def _noscan(sq):
-            return (jnp.full((scan_budget, pool_size), topk.INF_DIST,
-                             jnp.int32),
-                    jnp.full((scan_budget, pool_size), topk.INVALID_ID,
-                             jnp.int32))
+            def _noscan(sq, budget=budget):
+                return (jnp.full((budget, pool_size), topk.INF_DIST,
+                                 jnp.int32),
+                        jnp.full((budget, pool_size), topk.INVALID_ID,
+                                 jnp.int32))
 
-        spd, spi = jax.lax.cond(n_sc > 0, _scan, _noscan, sq)
+            spd, spi = jax.lax.cond(run, _scan, _noscan, sq)
+            ok = flag_sel & run
 
-        def _sblend(f, c):
-            m = flag_sel.reshape((-1,) + (1,) * (c.ndim - 1))
-            return f.at[sel].set(jnp.where(m, c, f[sel]))
+            def _sblend(f, c, ok=ok, sel=sel):
+                m = ok.reshape((-1,) + (1,) * (c.ndim - 1))
+                return f.at[sel].set(jnp.where(m, c, f[sel]))
 
-        full = full._replace(
-            pool_dist=_sblend(full.pool_dist, spd),
-            pool_id=_sblend(full.pool_id, spi),
-            done=_sblend(full.done, jnp.ones_like(flag_sel)),
-            overflow=_sblend(full.overflow, jnp.zeros_like(flag_sel)))
+            full = full._replace(
+                pool_dist=_sblend(full.pool_dist, spd),
+                pool_id=_sblend(full.pool_id, spi),
+                done=_sblend(full.done, jnp.ones_like(flag_sel)),
+                overflow=_sblend(full.overflow, jnp.zeros_like(flag_sel)))
     return full, compact_ovf
 
 
@@ -707,9 +721,8 @@ def mih_search_dispatch(index: MIHIndex, queries,
         <= scfg.fused_max_masks)
     if not schedule:
         return None
-    # (A "replace r>=2 stages with a wider scan budget" crossover was
-    # tried here and measured SLOWER at 1M — the scan's per-chunk distance
-    # slab traffic exceeds the r2 stage cost. The deep stages stay.)
+    # small first tier; run_pipeline adds the cond-skipped full-batch
+    # tier for scan-dominated workloads (uniform queries, large k)
     scan_budget = (min(nq, max(64, nq // 64)) if index.codes is not None
                    else 0)
     caps = tuple(_cap or _cap_for_radius(scfg, cfg, index.n, g, pool_size,
