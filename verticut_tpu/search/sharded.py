@@ -54,8 +54,8 @@ from verticut_tpu.ops import enumeration, topk
 from verticut_tpu.parallel import collectives
 from verticut_tpu.search.single import (SearchResult, SearchState,
                                         _cap_for_radius, _device_masks,
-                                        _radius_schedule, init_state,
-                                        run_pipeline)
+                                        _radius_schedule, _stage_shift,
+                                        init_state, run_pipeline)
 
 
 @dataclasses.dataclass
@@ -398,7 +398,7 @@ def _sharded_fused_search(index: ShardedMIHIndex, queries,
                  for _, g in schedule)
     nq_loc = nq // mesh.shape["query"]
     batch_caps = tuple(
-        nq_loc if i == 0 else max(64, nq_loc >> (3 + 2 * (i - 1)))
+        nq_loc if i == 0 else max(64, nq_loc >> (_stage_shift(scfg.knn) + 2 * (i - 1)))
         for i in range(len(schedule)))
     masks_tuple = tuple(_device_masks(index.pbits, g) for _, g in schedule)
     # x2, matching the single-device driver's measured sizing (commit

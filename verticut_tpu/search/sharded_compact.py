@@ -50,8 +50,8 @@ from verticut_tpu.ops import enumeration, topk
 from verticut_tpu.parallel import collectives
 from verticut_tpu.search.single import (SearchResult, SearchState,
                                         _cap_for_radius, _device_masks,
-                                        _radius_schedule, init_state,
-                                        run_pipeline)
+                                        _radius_schedule, _stage_shift,
+                                        init_state, run_pipeline)
 from verticut_tpu.search.sharded import sharded_linear_search, _device_linear
 
 
@@ -467,7 +467,7 @@ def sharded_compact_search(index: ShardedCompactIndex, queries,
                      for _, g in schedule)
         nq_loc = nq // mesh.shape["query"]
         batch_caps = tuple(
-            nq_loc if i == 0 else max(64, nq_loc >> (3 + 2 * (i - 1)))
+            nq_loc if i == 0 else max(64, nq_loc >> (_stage_shift(scfg.knn) + 2 * (i - 1)))
             for i in range(len(schedule)))
         masks_tuple = tuple(_device_masks(index.pbits, g)
                             for _, g in schedule)

@@ -440,6 +440,16 @@ def fused_pipeline(tables, all_codes, queries, q_subs, masks_tuple,
                         retry_budget=retry_budget, scan_budget=scan_budget)
 
 
+def _stage_shift(knn: int) -> int:
+    """First-stage batch-budget shift: deep-stage budgets are ``nq >> (shift
+    + 2*(stage-1))``. The straggler fraction grows with k — at k=100 on
+    clustered 1M data ~22% of queries need radius 2 (vs ~3% at k=10), so
+    wide-k searches get a gentler shrink; actives beyond a stage budget
+    are exact but resolve via the scan tiers, and overflowing the small
+    tiers costs a full-batch scan (~1 s at k=100, q=8192 — BENCH r3)."""
+    return 2 if knn > 32 else 3
+
+
 def run_pipeline(step_fn, scan_fn, queries, q_subs, state0: SearchState, *,
                  schedule, caps, batch_caps, knn, pool_size,
                  retry_caps=None, retry_budget=0, scan_budget=0):
@@ -525,7 +535,7 @@ def run_pipeline(step_fn, scan_fn, queries, q_subs, state0: SearchState, *,
         rstate = init_state(retry_budget, pool_size)._replace(done=~flag_sel)
         retry_bc = tuple(
             retry_budget if i == 0
-            else max(64, retry_budget >> (3 + 2 * (i - 1)))
+            else max(64, retry_budget >> (_stage_shift(knn) + 2 * (i - 1)))
             for i in range(len(schedule)))
         rfull = staged(rq, rqs, rstate, retry_caps, retry_bc)
 
@@ -544,15 +554,17 @@ def run_pipeline(step_fn, scan_fn, queries, q_subs, state0: SearchState, *,
 
     if scan_budget and scan_fn is not None:
         # Tiered scan: a small tier catches the common handful of
-        # stragglers; the full-batch tier lax.cond-skips entirely unless
-        # the small one was outgrown (scan-dominated workloads — uniform
+        # stragglers; larger tiers lax.cond-skip entirely unless the
+        # smaller one was outgrown (scan-dominated workloads — uniform
         # queries, large k — where the whole batch lands here and used to
         # spill to the host fallback one relay round trip later). Paying
         # the full-size scan unconditionally was measured at +38 ms per
-        # k=10 batch for 3 stragglers (BENCH r3), hence the tiers.
+        # k=10 batch for 3 stragglers (BENCH r3), hence the tiers; the
+        # x8 ladder keeps a few hundred stragglers (k=100 clustered) off
+        # the full-batch scan (~1 s at k=100, q=8192 — BENCH r3).
         budgets = [min(scan_budget, nq)]
-        if budgets[0] < nq:
-            budgets.append(nq)
+        while budgets[-1] < nq:
+            budgets.append(min(nq, budgets[-1] * 8))
         for budget in budgets:
             flag = ~full.done
             idx = jnp.arange(nq, dtype=jnp.int32)
@@ -730,7 +742,7 @@ def mih_search_dispatch(index: MIHIndex, queries,
                                          _index_fetch_blk(index))
                  for _, g in schedule)
     batch_caps = tuple(
-        nq if i == 0 else max(64, nq >> (3 + 2 * (i - 1)))
+        nq if i == 0 else max(64, nq >> (_stage_shift(k) + 2 * (i - 1)))
         for i in range(len(schedule)))
     masks_tuple = tuple(_device_masks(mask_bits, group)
                         for _, group in schedule)
