@@ -607,6 +607,16 @@ def run_pipeline(step_fn, scan_fn, queries, q_subs, state0: SearchState, *,
     return full, compact_ovf
 
 
+def _result_id_bits(tables, bits: int) -> int:
+    """Bits of id payload when one uint32 word can hold a (dist, id) result
+    pair — 0 when it cannot (wide ids fall back to the 2P layout). Sized so
+    every true distance 0..bits plus an all-ones sentinel fits above."""
+    max_id = max(t.n_entries for t in tables)
+    id_bits = max(1, int(max_id - 1).bit_length())
+    dist_bits = 32 - id_bits
+    return id_bits if (1 << dist_bits) - 1 > bits else 0
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("schedule", "caps", "batch_caps", "n_tables", "knn",
@@ -615,14 +625,18 @@ def run_pipeline(step_fn, scan_fn, queries, q_subs, state0: SearchState, *,
 def fused_pipeline_packed(tables, all_codes, queries, masks_tuple, *,
                           n_tables, pool_size, **kw) -> jax.Array:
     """fused_pipeline as ONE dispatch end-to-end, result flattened into ONE
-    int32 array ``[Q, 2P + 7]`` = [pool_dist | pool_id | done radius
-    overflow n_probes n_nonempty n_cands covf].
+    array: uint32 ``[Q, P + 7]`` = [(dist << id_bits | id) pool | done
+    radius overflow n_probes n_nonempty n_cands covf] when ids fit under
+    the distance field (all-ones word = empty slot), else int32
+    ``[Q, 2P + 7]`` = [pool_dist | pool_id | cols].
 
     Substring extraction and state init happen inside the jit, and the
     result is a single array: through a remote-device relay every eager op
     dispatch, array creation, and device_get leaf costs a host round trip
     (~10-30 ms each — CLAUDE.md), which at 8+ leaves dwarfs the ~70 ms of
-    actual search.
+    actual search. The word-packed layout exists for the same reason: the
+    relay moves device->host at ~50 MB/s, so the [8192, 207] int32 result
+    at k=100 costs ~130 ms of pure transfer — halved by packing.
     """
     q_subs = codes_lib.all_substrings(queries, n_tables)
     state0 = init_state(queries.shape[0], pool_size)
@@ -635,6 +649,13 @@ def fused_pipeline_packed(tables, all_codes, queries, masks_tuple, *,
                       full.n_nonempty, full.n_cands,
                       jnp.broadcast_to(covf.astype(jnp.int32), (nq,))],
                      axis=1)
+    id_bits = _result_id_bits(tables, queries.shape[-1] * 32)
+    if id_bits:
+        pool_u = jnp.where(
+            full.pool_id < 0, jnp.uint32(0xFFFFFFFF),
+            (full.pool_dist.astype(jnp.uint32) << id_bits)
+            | full.pool_id.astype(jnp.uint32))
+        return jnp.concatenate([pool_u, cols.astype(jnp.uint32)], axis=1)
     return jnp.concatenate([full.pool_dist, full.pool_id, cols], axis=1)
 
 
@@ -772,8 +793,19 @@ def mih_search_finalize(h: FusedHandle) -> Optional[SearchResult]:
     host = jax.device_get(h.packed)  # the single sync, one transfer
     if (host[:, -1] != 0).any():  # covf (per query-shard under shard_map)
         return None
-    pd, pi = host[:, :pool_size], host[:, pool_size:2 * pool_size]
-    cols = host[:, 2 * pool_size:]
+    if host.shape[1] == pool_size + 7:  # word-packed (dist, id) layout
+        id_bits = _result_id_bits(tuple(h.index.tables),
+                                  h.index.cfg.bits)
+        pool = host[:, :pool_size]
+        empty = pool == np.uint32(0xFFFFFFFF)
+        pd = np.where(empty, topk.INF_DIST,
+                      pool >> id_bits).astype(np.int32)
+        pi = np.where(empty, topk.INVALID_ID,
+                      pool & ((1 << id_bits) - 1)).astype(np.int32)
+        cols = host[:, pool_size:].astype(np.int32)
+    else:
+        pd, pi = host[:, :pool_size], host[:, pool_size:2 * pool_size]
+        cols = host[:, 2 * pool_size:]
     done, radius, overflow = cols[:, 0] != 0, cols[:, 1], cols[:, 2] != 0
     n_probes, n_nonempty, n_cands = cols[:, 3], cols[:, 4], cols[:, 5]
     dists = pd[:, :k].copy()
