@@ -151,6 +151,24 @@ def main():
         return round(q_batch * n_b / (time.time() - t0), 1), lat1, res
 
     extra_cells = {}
+    oracle_nq = int(os.environ.get("VERTICUT_BENCH_ORACLE", "0"))
+    if oracle_nq:
+        # driver-verifiable exactness bit (VERDICT r2 missing#6): compare
+        # the engine's distance multiset against an independent brute-force
+        # scan of the full corpus for the first oracle_nq queries
+        from verticut_tpu.search.linear import linear_search
+        oq = queries[:oracle_nq]
+        res_o = mih_search(index, oq, scfg)
+        t0 = time.time()
+        od, _ = linear_search(oq, index.codes, k)
+        float(jnp.sum(od))  # hard sync (relay)
+        oracle_s = time.time() - t0
+        ok = bool(np.array_equal(np.sort(np.asarray(res_o.dists), axis=-1),
+                                 np.sort(np.asarray(od), axis=-1)))
+        extra_cells["oracle_queries"] = oracle_nq
+        extra_cells["oracle_scan_s"] = round(oracle_s, 2)
+        extra_cells["oracle_multiset_equal"] = ok
+        log(f"bench: oracle multiset equal={ok} scan {oracle_s:.1f}s")
     if os.environ.get("VERTICUT_BENCH_CELLS", "1") != "0":
         scfg100 = SearchConfig(knn=100, candidate_cap=8192,
                                max_enum_radius=5)

@@ -209,3 +209,17 @@ def test_use_bitmap_rejected_on_range_engine():
     idx = build_index(packed, MIHConfig(), directory="range")
     with pytest.raises(ValueError, match="use_bitmap"):
         mih_search(idx, packed[:2], SearchConfig(knn=3, use_bitmap=True))
+
+
+def test_query_word_count_mismatch_raises():
+    """A query batch with the wrong uint32 word count must raise, never
+    silently probe garbage substrings (verify-drive edge probe; the
+    reference validates code size at load, build_hash_tables.cc:42)."""
+    import pytest
+    from verticut_tpu.search import mih_search
+
+    _, db = make_db(500)
+    idx = build_index(db, MIHConfig(bits=128, n_tables=4))
+    bad_q = np.asarray(db[:4])[:, :2]          # 64-bit queries
+    with pytest.raises(ValueError, match="code width"):
+        mih_search(idx, bad_q, SearchConfig(knn=3))

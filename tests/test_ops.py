@@ -217,19 +217,6 @@ def test_packed_merge_hierarchical_blocks_exact():
     assert np.array_equal(np.asarray(a_i), np.asarray(b_i))
 
 
-def test_bitonic_sort_pairs_matches_lexsort():
-    rng = np.random.default_rng(5)
-    for w in (1, 2, 8, 64, 256):
-        k = rng.integers(0, 7, size=(9, w)).astype(np.uint32)  # many ties
-        v = rng.integers(0, 1 << 31, size=(9, w)).astype(np.uint32)
-        sk, sv = topk.bitonic_sort_pairs(jnp.asarray(k), jnp.asarray(v))
-        sk, sv = np.asarray(sk), np.asarray(sv)
-        for i in range(9):
-            order = np.lexsort((v[i], k[i]))
-            assert np.array_equal(sk[i], k[i][order])
-            assert np.array_equal(sv[i], v[i][order])
-
-
 def _rand_cands(rng, q, c, max_id, base=0):
     """Random candidates; dist is a pure function of id, ids unique per row
     (the per-table invariant the strip merges rely on)."""
@@ -306,15 +293,54 @@ def test_strip_merge_wide_pool_approx_shape():
     _run_strip_merge(packed_path=False, p=60, c=25, max_id=300)
 
 
-def test_merge_topk_bitonic_matches_sort_merge():
-    rng = np.random.default_rng(11)
-    q, p, c = 4, 6, 19
-    pd0, pi0 = topk.empty_pool(q, p)
-    cd = rng.integers(0, 90, size=(q, c)).astype(np.int32)
-    ci = rng.integers(0, 1 << 28, size=(q, c)).astype(np.int32)
-    ci[0, 3] = -1
-    a_d, a_i = topk.merge_topk(pd0, pi0, jnp.asarray(cd), jnp.asarray(ci))
-    b_d, b_i = topk.merge_topk_bitonic(pd0, pi0, jnp.asarray(cd),
-                                       jnp.asarray(ci))
-    assert np.array_equal(np.asarray(a_d), np.asarray(b_d))
-    assert np.array_equal(np.asarray(a_i), np.asarray(b_i))
+def test_select_desc_matches_sort():
+    # the one wide-selection primitive (narrow native top_k compositions
+    # only — the handwritten sorting networks it replaced returned wrong
+    # results at unpredictable widths on the TPU backend; see CLAUDE.md)
+    rng = np.random.default_rng(31)
+    for w, m in [(40, 7), (1536, 200), (1537, 200), (16000, 500),
+                 (5000, 2000), (131072, 100), (300, 512)]:
+        keys = rng.integers(0, 1 << 32, size=(4, w), dtype=np.uint64) \
+            .astype(np.uint32)
+        got = np.asarray(topk.select_desc(jnp.asarray(keys), m))
+        expect = -np.sort(-keys.astype(np.int64), axis=-1)[:, :m]
+        expect = np.pad(expect, ((0, 0), (0, m - expect.shape[1])))
+        assert np.array_equal(got.astype(np.int64), expect), (w, m)
+
+
+def test_strip_merge_wide_pool_shapes():
+    # approximate k*20 pools: widths past _TOPK_WIDE route every selection
+    # through the shrink ladder (the lax.top_k compile bomb of VERDICT r2
+    # missing #4) — exactness must be unchanged
+    _run_strip_merge(packed_path=True, p=600, n_tables=3, c=900,
+                     max_id=4000, seed=9)
+    _run_strip_merge(packed_path=False, p=600, n_tables=3, c=900,
+                     max_id=4000, base=(1 << 25), seed=10)
+
+
+def test_chunk_topk_affine_under_scan_unique_ids():
+    # regression: chunk_topk_affine runs inside every scan engine's
+    # lax.scan/fori body — its wide tail once used a sorting network that
+    # returned duplicated ids on TPU (exact on CPU, so this guards the
+    # semantics and the real-chip verify drive guards the lowering)
+    import jax
+
+    rng = np.random.default_rng(12)
+    Q, T, k, C = 8, 16384, 500, 2
+    d_all = rng.integers(30, 100, (C, Q, T)).astype(np.int32)
+
+    def body(carry, args):
+        d, base = args
+        cd, ci = topk.chunk_topk_affine(d, base, k, C * T - base)
+        return carry, (cd, ci)
+
+    bases = jnp.arange(C, dtype=jnp.int32) * T
+    _, (cds, cis) = jax.lax.scan(body, 0, (jnp.asarray(d_all), bases))
+    cds, cis = np.asarray(cds), np.asarray(cis)
+    for c in range(C):
+        want = np.sort(d_all[c], -1)[:, :k]
+        assert np.array_equal(np.sort(cds[c], -1), want)
+        for qi in range(Q):
+            ids = cis[c][qi] - c * T
+            assert len(set(ids.tolist())) == k
+            assert np.array_equal(cds[c][qi], d_all[c][qi][ids])

@@ -26,10 +26,12 @@ from verticut_tpu.ops import topk
 def _merge(pool, cd, ci, n, bits):
     if topk.can_pack(n - 1, bits):
         return topk.merge_topk_packed(pool[0], pool[1], cd, ci)
-    # bitonic, not multi-key lax.sort: the variadic-sort lowering costs
-    # ~30 ms even at [1024, 200] (DESIGN.md §1) — the >2^24-id scan path
-    # (100M+) was paying it once per chunk
-    return topk.merge_topk_bitonic(pool[0], pool[1], cd, ci)
+    # >2^24-id path: the native two-key lax.sort merge (measured 2.7 ms at
+    # [1024, 200] on this chip — cheap, and safe in any program context
+    # unlike the sorting networks it replaced; see ops/topk wide-selection
+    # comment). Only serves >16.7M-row popcount/matmul scans —
+    # scan_blockmin (no _merge) is the scale engine.
+    return topk.merge_topk(pool[0], pool[1], cd, ci)
 
 
 def _pad_db(db: jax.Array, chunk: int):
@@ -164,14 +166,14 @@ def scan_blockmin(queries: jax.Array, db: jax.Array, k: int,
     kb = min(k, nb)
     idx_bits = max(1, (nb - 1).bit_length())
     if (bits + 1).bit_length() <= 32 - idx_bits and nb > 2 * kb:
-        # packed tournament selection (ops/topk.topk_desc): lax.top_k over
+        # packed block selection (ops/topk.select_desc): lax.top_k over
         # a wide [Q, nb] axis is a full sort at runtime AND compiles
         # pathologically (DESIGN.md §1); ties break to the lower block
         # index, matching stable top_k
         biota = jax.lax.broadcasted_iota(jnp.uint32, blk_min.shape, 1)
         bkey = ~((jnp.clip(blk_min, 0, bits + 1).astype(jnp.uint32)
                   << idx_bits) | biota)
-        bidx = (~topk.topk_desc(bkey, kb)
+        bidx = (~topk.select_desc(bkey, kb)
                 & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
     else:
         _, bidx = jax.lax.top_k(-blk_min, kb)             # stable: ties ->
@@ -198,11 +200,12 @@ def scan_blockmin(queries: jax.Array, db: jax.Array, k: int,
     li = jax.lax.broadcasted_iota(jnp.int32, (1, kb * block), 1)
     sent = 0x7FFFFFFF  # dist <= 512 and li_bits <= 19: sign bit stays 0
     packed = jnp.where(d < topk.INF_DIST, (d << li_bits) | li, sent)
-    # tournament selection over the inverted strip (replaces the old
-    # blockwise lax.top_k shrink ladder: same O(W log P) compare work,
-    # none of the wide-sort runtime/compile cost)
+    # blockwise shrink selection over the inverted strip (select_desc; the
+    # tournament network that briefly replaced it returned WRONG results
+    # at this site — [32, 64000]→500 top-level, caught by the on-chip
+    # oracle drive — and was slower: 33 vs 3 ms)
     kk = min(k, kb * block)
-    top = (~topk.topk_desc(~packed.astype(jnp.uint32), kk)).astype(jnp.int32)
+    top = (~topk.select_desc(~packed.astype(jnp.uint32), kk)).astype(jnp.int32)
     invalid = top == sent
     sel_li = top & ((1 << li_bits) - 1)
     out_d = jnp.where(invalid, topk.INF_DIST, top >> li_bits)

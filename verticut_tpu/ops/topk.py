@@ -110,7 +110,7 @@ def merge_topk_dedup_packed(pool_dist: jax.Array, pool_id: jax.Array,
     keys = jnp.concatenate([kp, kc], axis=-1)
     width = keys.shape[-1]
     m = min(p + n_dup, width)
-    top = jax.lax.top_k(keys, m)[0]       # descending inverted = asc packed
+    top = select_desc(keys, m)            # descending inverted = asc packed
     dup = jnp.concatenate(
         [jnp.zeros_like(top[..., :1], jnp.bool_),
          (top[..., 1:] == top[..., :-1]) & (top[..., 1:] != inv0)], axis=-1)
@@ -119,10 +119,7 @@ def merge_topk_dedup_packed(pool_dist: jax.Array, pool_id: jax.Array,
     # approximate mode (k*20), while top_k over the already-selected m is
     # cheap at any width
     top = jnp.where(dup, inv0, top)
-    kk = min(p, m)
-    out = jax.lax.top_k(top, kk)[0]
-    if kk < p:
-        out = jnp.pad(out, ((0, 0), (0, p - kk)), constant_values=0)
+    out = select_desc(top, p)
     packed = ~out
     invalid = out == inv0
     pid = jnp.where(invalid, INVALID_ID,
@@ -187,9 +184,9 @@ def merge_topk_packed(pool_dist: jax.Array, pool_id: jax.Array,
                       cand_dist: jax.Array, cand_id: jax.Array):
     """No-dedup merge via one uint32-packed ``lax.top_k``.
 
-    Requires ``can_pack`` bounds (ids < 2^24, dist <= 254). A multi-key
-    ``lax.sort`` on TPU costs ~30 ms even for a [1024, 200] operand (the
-    variadic-sort lowering); ``top_k`` on the same shape is microseconds.
+    Requires ``can_pack`` bounds (ids < 2^24, dist <= 254). Packing halves
+    the sorted bytes and gives bitwise-equal dup keys; measured ~4x faster
+    than the two-pass multi-key sort merge at pool widths.
     """
     p = pool_dist.shape[-1]
     shift = jnp.uint32(PACKED_ID_BITS)
@@ -237,9 +234,29 @@ def chunk_topk_affine(dists: jax.Array, base, k: int, n_valid,
         d1 = dists
         ids1 = jnp.broadcast_to(
             jax.lax.broadcasted_iota(jnp.int32, (1, t), 1), (q, t))
-    kk = min(k, d1.shape[-1])
-    neg, idx2 = jax.lax.top_k(-d1, kk)
-    d = -neg
+    w1 = d1.shape[-1]
+    kk = min(k, w1)
+    p_bits = max(1, (w1 - 1).bit_length())
+    if w1 > _TOPK_WIDE and p_bits <= 21:
+        # wide final strip (k*nb past the blockwise reduce): lax.top_k's
+        # compile time explodes with the sorted width, so pack
+        # (dist, slot) and select via the shrink ladder; dist field >= 11
+        # bits holds any Hamming distance (codes <= 512 bits), INF ->
+        # invalid
+        slot = jax.lax.broadcasted_iota(jnp.uint32, (1, w1), 1)
+        keys = jnp.where(d1 < INF_DIST,
+                         ~((d1.astype(jnp.uint32) << jnp.uint32(p_bits))
+                           | slot), jnp.uint32(0))
+        top = select_desc(keys, kk)
+        packed = ~top
+        bad = top == jnp.uint32(0)
+        idx2 = jnp.clip((packed & jnp.uint32((1 << p_bits) - 1))
+                        .astype(jnp.int32), 0, w1 - 1)
+        d = jnp.where(bad, INF_DIST,
+                      (packed >> jnp.uint32(p_bits)).astype(jnp.int32))
+    else:
+        neg, idx2 = jax.lax.top_k(-d1, kk)
+        d = -neg
     sel = jnp.take_along_axis(ids1, idx2, axis=-1)          # only [Q, k]
     if kk < k:
         d = jnp.pad(d, ((0, 0), (0, k - kk)), constant_values=int(INF_DIST))
@@ -249,148 +266,76 @@ def chunk_topk_affine(dists: jax.Array, base, k: int, n_valid,
     return jnp.where(invalid, INF_DIST, d), gids
 
 
-def _xor_shuffle(x: jax.Array, stride: int) -> jax.Array:
-    """Element at index ``i ^ stride`` along the last axis, gather-free:
-    reshape [..., W] -> [..., W/2s, 2, s] and flip the middle axis —
-    a static layout permutation XLA lowers to cheap vector moves, not the
-    ~16-30 ns/element dynamic gathers of ``take_along_axis``."""
-    w = x.shape[-1]
-    lead = x.shape[:-1]
-    return (x.reshape(*lead, w // (2 * stride), 2, stride)[..., ::-1, :]
-            .reshape(*lead, w))
-
-
-def bitonic_sort_pairs(key: jax.Array, val: jax.Array):
-    """Sort ``(key uint32[..., W], val uint32[..., W])`` ascending by the
-    lexicographic pair ``(key, val)`` along the last axis. ``W`` must be a
-    power of two.
-
-    A classic bitonic network as ~log²(W)/2 compare-exchange stages of pure
-    element-wise VPU ops. This is the selection primitive that replaces
-    multi-key ``lax.sort`` on the narrow merge strips: a variadic sort on
-    TPU costs ~30 ms even at [1024, 200] (generic-comparator lowering,
-    DESIGN.md §1), while this network is a few element-wise passes. The TPU
-    analog of the reference master's ``std::map`` ordering
-    (``src/search_worker.cc:179-198``), batched over queries.
-    """
-    w = key.shape[-1]
-    assert w & (w - 1) == 0, f"bitonic width {w} not a power of two"
-    if w == 1:
-        return key, val
-    idx = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
-    size = 2
-    while size <= w:
-        stride = size // 2
-        # ascending blocks where (idx & size) == 0, descending otherwise;
-        # the final pass (size == w) is all-ascending
-        asc = (idx & size) == 0 if size < w else jnp.ones_like(idx, jnp.bool_)
-        while stride >= 1:
-            pk = _xor_shuffle(key, stride)
-            pv = _xor_shuffle(val, stride)
-            lower = (idx & stride) == 0      # this lane holds the smaller
-            less = (key < pk) | ((key == pk) & (val < pv))
-            keep = jnp.where(lower == asc, less, ~less)
-            # tie (key == pk & val == pv): keep either copy — identical
-            keep = keep | ((key == pk) & (val == pv))
-            key = jnp.where(keep, key, pk)
-            val = jnp.where(keep, val, pv)
-            stride //= 2
-        size *= 2
-    return key, val
-
-
 # --------------------------------------------------------------------------
-# Tournament top-k: selection without XLA's sort lowering.
+# Wide selection. lax.top_k / lax.sort on TPU compile CATASTROPHICALLY on
+# wide operands — measured on this rig: a single top_k over [8192, 3132]
+# uint32 takes >13 minutes of remote compile (a tiny program compiles in
+# 0.6 s), and the cost grows with the sorted width. That one lowering was
+# the entire 799 s r2 bench warmup and the reason approximate k>=500
+# "compiled for tens of minutes".
 #
-# lax.top_k / lax.sort on TPU compile CATASTROPHICALLY on wide operands —
-# measured on this rig: a single top_k over [8192, 3132] uint32 takes >13
-# minutes of remote compile (a tiny program compiles in 0.6 s), and the
-# cost grows with the sorted width. That one lowering was the entire 799 s
-# r2 bench warmup and the reason approximate k>=500 "compiles for tens of
-# minutes". The replacement: block-sort P-wide tiles with a bitonic
-# network, then a tournament of pairwise sorted-merges, keeping the top P
-# per node (max(a_i, rev(b)_i) is the top-P multiset of two sorted-desc
-# P-sequences, and is bitonic, so one log P merge phase re-sorts it).
-# Everything is element-wise compare/select + static layout shuffles:
-# compile is seconds, runtime is the same O(W log P) compare work the
-# hardware would do inside a monolithic sort — without its compile bill.
+# The replacement is the blockwise shrink ladder below: narrow native
+# top_k sorts only. A handwritten compare/select tournament (bitonic
+# block sort + pairwise sorted-merge, pure element-wise VPU ops) was tried
+# first and is GONE FOR CAUSE: the Mosaic/XLA lowering of its
+# reshape+strided-slice shuffle stages MISCOMPILES at unpredictable
+# (width, batch, program) combinations on this backend — observed
+# [32, 16000]→500 wrong inside a lax.scan body, [32, 64000]→500 wrong at
+# TOP LEVEL while [32, 96000]→500 and every isolated micro-probe (top /
+# cond / scan / cond-in-scan) of the same shapes is exact. CPU is
+# unaffected, so only real-chip oracle drives catch it. It was also
+# SLOWER than the ladder everywhere it was measured (93 vs 8 ms at
+# [8192, 3132]→100; 33 vs 3 ms at [32, 64000]→500). Do not reintroduce
+# handwritten sorting networks: use lax.top_k / lax.sort compositions.
 # --------------------------------------------------------------------------
 
-
-def _bitonic_merge_desc(key: jax.Array) -> jax.Array:
-    """Sort a bitonic last axis descending: log2(W) compare-exchange
-    stages (the merge half of the bitonic network)."""
-    w = key.shape[-1]
-    idx = jax.lax.broadcasted_iota(jnp.int32, (1,) * (key.ndim - 1) + (w,),
-                                   key.ndim - 1)
-    stride = w // 2
-    while stride >= 1:
-        pk = _xor_shuffle(key, stride)
-        lower = (idx & stride) == 0
-        keep = jnp.where(lower, key >= pk, key <= pk)
-        key = jnp.where(keep, key, pk)
-        stride //= 2
-    return key
+_TOPK_WIDE = 1536  # lax.top_k axis width beyond which compile time explodes
 
 
-def _bitonic_sort_desc(key: jax.Array) -> jax.Array:
-    """Full descending bitonic sort of the last axis (pow2 width)."""
-    w = key.shape[-1]
-    if w == 1:
-        return key
-    idx = jax.lax.broadcasted_iota(jnp.int32, (1,) * (key.ndim - 1) + (w,),
-                                   key.ndim - 1)
-    size = 2
-    while size <= w:
-        # descending blocks where (idx & size) == 0
-        desc = (idx & size) == 0 if size < w \
-            else jnp.ones_like(idx, jnp.bool_)
-        stride = size // 2
-        while stride >= 1:
-            pk = _xor_shuffle(key, stride)
-            lower = (idx & stride) == 0
-            gt = key >= pk
-            keep = jnp.where(lower == desc, gt, ~gt)
-            key = jnp.where(keep, key, pk)
-            stride //= 2
-        size *= 2
-    return key
+def select_desc(keys: jax.Array, m: int) -> jax.Array:
+    """Largest ``m`` keys of the last axis, sorted descending — built ONLY
+    from narrow native ``lax.top_k`` sorts (safe in any program context).
 
-
-def topk_desc(keys: jax.Array, p: int) -> jax.Array:
-    """Largest ``p`` of the last axis, sorted descending — the lax.top_k
-    replacement for uint32 keys (values only; encode any payload into the
-    key bits). Padding/invalid convention: 0 is the worst key.
-
-    ``[..., W] -> [..., p]``. Compile-time O(log²p + log(W/p)·log p)
-    element-wise stages vs. lax.top_k's pathological sort lowering."""
+    Blockwise shrink ladder: per-block ``top_k`` keeps every member of the
+    global top-``m`` (if a global winner fell outside its block's top-m,
+    the m better in-block keys would all outrank it — contradiction), so
+    repeated block-reduction then one final narrow sort is exact. Each
+    sort is ≤ ~2·max(2^ceil(log2 2m), 512) wide: neither lax.top_k's
+    compile-time explosion (see module comment) nor any wide-sort runtime
+    cost. Measured at [8192, 3132]→100: 8 ms vs lax.top_k's >13 min
+    compile. Pads with 0 (the invalid sentinel) when the axis is shorter
+    than ``m``.
+    """
     w = keys.shape[-1]
-    if w <= p:
-        w2 = _pow2ceil(max(w, 1))
-        if w2 > w:
-            keys = jnp.pad(keys, [(0, 0)] * (keys.ndim - 1) + [(0, w2 - w)])
-        out = _bitonic_sort_desc(keys)
-        if out.shape[-1] < p:
-            out = jnp.pad(out, [(0, 0)] * (out.ndim - 1)
-                          + [(0, p - out.shape[-1])])
-        return out[..., :p]
-    p2 = _pow2ceil(p)
-    nb = -(-w // p2)
-    pad = nb * p2 - w
-    if pad:
-        keys = jnp.pad(keys, [(0, 0)] * (keys.ndim - 1) + [(0, pad)])
-    lead = keys.shape[:-1]
-    x = keys.reshape(*lead, nb, p2)
-    x = _bitonic_sort_desc(x)
-    while x.shape[-2] > 1:
-        m = x.shape[-2]
-        if m % 2:
-            x = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, 1), (0, 0)])
-            m += 1
-        a = x[..., 0::2, :]
-        b = x[..., 1::2, ::-1]
-        x = _bitonic_merge_desc(jnp.maximum(a, b))
-    return x[..., 0, :p]
+    kk = min(m, w)
+    if kk > _TOPK_WIDE:
+        # keep-count itself is wide (approximate k*20 pools): every
+        # blockwise stage would be a ~2kk-wide top_k — the compile bomb
+        # is top_k's VARIADIC (key, iota) sort lowering, so use the
+        # single-operand lax.sort instead (ascending; flip is a plain
+        # lax.rev) — compiles flat in width where top_k explodes
+        out = jnp.flip(jax.lax.sort(keys, dimension=-1), -1)[..., :kk]
+    else:
+        b = max(_pow2ceil(2 * kk), 512)
+        x = keys
+        while x.shape[-1] > max(2 * b, _TOPK_WIDE):
+            wx = x.shape[-1]
+            nb = -(-wx // b)
+            pad = nb * b - wx
+            if pad:
+                x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+            lead = x.shape[:-1]
+            x = jax.lax.top_k(x.reshape(*lead, nb, b), kk)[0]
+            x = x.reshape(*lead, nb * kk)
+        out = jax.lax.top_k(x, kk)[0]
+    if kk < m:
+        out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, m - kk)])
+    return out
+
+
+# Historic alias: callers written while the tournament still existed
+# distinguished a "loop-safe" selection; there is only one selection now.
+ladder_select_desc = select_desc
 
 
 # --------------------------------------------------------------------------
@@ -431,8 +376,7 @@ def table_topk_packed(cand_dist: jax.Array, cand_id: jax.Array, p: int,
                          constant_values=0)
         kc = jax.lax.top_k(kc.reshape(q, nb, block), p)[0] \
             .reshape(q, nb * p)
-    kk = min(p, kc.shape[-1])
-    return jax.lax.top_k(kc, kk)[0]
+    return select_desc(kc, min(p, kc.shape[-1]))
 
 
 def merge_strips_packed(pool_dist: jax.Array, pool_id: jax.Array,
@@ -452,16 +396,13 @@ def merge_strips_packed(pool_dist: jax.Array, pool_id: jax.Array,
     keys = jnp.concatenate([kp, strips], axis=-1)
     width = keys.shape[-1]
     m = min(p * n_copies, width)
-    top = jax.lax.top_k(keys, m)[0]
+    top = select_desc(keys, m)
     dup = jnp.concatenate(
         [jnp.zeros_like(top[..., :1], jnp.bool_),
          (top[..., 1:] == top[..., :-1]) & (top[..., 1:] != jnp.uint32(0))],
         axis=-1)
     top = jnp.where(dup, jnp.uint32(0), top)
-    kk = min(p, m)
-    out = jax.lax.top_k(top, kk)[0]
-    if kk < p:
-        out = jnp.pad(out, ((0, 0), (0, p - kk)), constant_values=0)
+    out = select_desc(top, p)
     packed = ~out
     invalid = out == jnp.uint32(0)
     pid = jnp.where(invalid, INVALID_ID,
@@ -479,8 +420,8 @@ def table_topk_pos(cand_dist: jax.Array, cand_id: jax.Array, p: int,
 
     ``[Q, C] -> (dist int32[Q, p], id int32[Q, p])``. This is what removes
     the 2^24-id ceiling of the packed path (VERDICT r2 missing #3): above
-    16.7M codes the old fallback was a multi-key ``lax.sort`` per merge
-    (~30 ms per [1024, 200] operand)."""
+    16.7M codes the old fallback was a two-pass multi-key ``lax.sort`` at
+    full candidate width per merge."""
     q, c = cand_dist.shape
     assert c < (1 << PACKED_ID_BITS), f"candidate width {c} >= 2^24"
     pos = jax.lax.broadcasted_iota(jnp.uint32, (1, c), 1)
@@ -496,7 +437,7 @@ def table_topk_pos(cand_dist: jax.Array, cand_id: jax.Array, p: int,
         kc = jax.lax.top_k(kc.reshape(q, nb, block), p)[0] \
             .reshape(q, nb * p)
     kk = min(p, kc.shape[-1])
-    top = jax.lax.top_k(kc, kk)[0]
+    top = select_desc(kc, kk)
     packed = ~top
     invalid = top == jnp.uint32(0)
     sel = jnp.clip((packed & jnp.uint32((1 << PACKED_ID_BITS) - 1))
@@ -511,24 +452,22 @@ def merge_strips_dedup_pos(pool_dist: jax.Array, pool_id: jax.Array,
                            strip_dist: jax.Array, strip_id: jax.Array):
     """Dedup merge of explicit (dist, id) strips — unbounded ids.
 
-    Dedup: bitonic-sort the (pow2-padded) concatenated strip by id (pure
-    element-wise network, no gathers, no variadic sort); duplicates land
-    adjacent and carry identical dists (distance is a function of the id),
-    so all-but-first are invalidated by one shifted compare. Final
-    selection: pack ``(dist8, slot)`` — slot in the id-sorted strip, so
-    equal-dist ties resolve to the smaller id — one narrow ``top_k``, one
-    [Q, P] gather."""
+    Dedup: sort the concatenated strip by id (native key-value
+    ``lax.sort`` — measured 2.4-3.6 ms at [8192, 512], vs 222 ms for the
+    handwritten network it replaced at [8192, 4096], which also
+    miscompiles at some widths; see the wide-selection module comment);
+    duplicates land adjacent and carry identical dists (distance is a
+    function of the id), so all-but-first are invalidated by one shifted
+    compare. Final selection: pack ``(dist8, slot)`` — slot in the
+    id-sorted strip, so equal-dist ties resolve to the smaller id — one
+    narrow ``top_k``, one [Q, P] gather."""
     p = pool_dist.shape[-1]
     d = jnp.concatenate([pool_dist, strip_dist], axis=-1)
     i = jnp.concatenate([pool_id, strip_id], axis=-1)
-    w = _pow2ceil(d.shape[-1])
-    if w > d.shape[-1]:
-        pad = w - d.shape[-1]
-        d = jnp.pad(d, ((0, 0), (0, pad)), constant_values=int(INF_DIST))
-        i = jnp.pad(i, ((0, 0), (0, pad)), constant_values=-1)
+    w = d.shape[-1]
     # id -1 -> 0xFFFFFFFF sorts last
     ui = i.astype(jnp.uint32)
-    ui, ud = bitonic_sort_pairs(ui, d.astype(jnp.uint32))
+    ui, ud = jax.lax.sort((ui, d.astype(jnp.uint32)), num_keys=2)
     dup = jnp.concatenate(
         [jnp.zeros_like(ui[..., :1], jnp.bool_),
          (ui[..., 1:] == ui[..., :-1]) & (ui[..., 1:] != _UMAX)], axis=-1)
@@ -538,7 +477,7 @@ def merge_strips_dedup_pos(pool_dist: jax.Array, pool_id: jax.Array,
     keys = jnp.where(valid,
                      ~((ud << jnp.uint32(slot_bits)) | slot), jnp.uint32(0))
     kk = min(p, w)
-    top = jax.lax.top_k(keys, kk)[0]
+    top = select_desc(keys, kk)
     packed = ~top
     invalid = top == jnp.uint32(0)
     sel = jnp.clip((packed & jnp.uint32((1 << slot_bits) - 1))
@@ -552,29 +491,6 @@ def merge_strips_dedup_pos(pool_dist: jax.Array, pool_id: jax.Array,
                         constant_values=int(INF_DIST))
         out_i = jnp.pad(out_i, ((0, 0), (0, p - kk)), constant_values=-1)
     return out_d, out_i
-
-
-def merge_topk_bitonic(pool_dist: jax.Array, pool_id: jax.Array,
-                       cand_dist: jax.Array, cand_id: jax.Array):
-    """No-dedup merge for unbounded ids via the bitonic network — the
-    (dist, id)-lexicographic selection of :func:`merge_topk` without its
-    multi-key ``lax.sort`` (which TPU lowers through a generic comparator,
-    ~30 ms per [1024, 200] operand). Used by the >2^24-id scan path."""
-    p = pool_dist.shape[-1]
-    d = jnp.concatenate([pool_dist, cand_dist], axis=-1)
-    i = jnp.concatenate([pool_id, cand_id], axis=-1)
-    w = _pow2ceil(d.shape[-1])
-    if w > d.shape[-1]:
-        pad = w - d.shape[-1]
-        d = jnp.pad(d, ((0, 0), (0, pad)), constant_values=int(INF_DIST))
-        i = jnp.pad(i, ((0, 0), (0, pad)), constant_values=-1)
-    ud = jnp.where(i < 0, jnp.uint32(INF_DIST), d.astype(jnp.uint32))
-    ud, ui = bitonic_sort_pairs(ud, i.astype(jnp.uint32))
-    d_out = ud[..., :p].astype(jnp.int32)
-    i_out = ui[..., :p].astype(jnp.int32)
-    bad = (i_out < 0) | (d_out >= INF_DIST)
-    return (jnp.where(bad, INF_DIST, d_out),
-            jnp.where(bad, INVALID_ID, i_out))
 
 
 def kth_stats(pool_dist: jax.Array, pool_id: jax.Array, k: int):

@@ -288,7 +288,7 @@ def _device_linear(codes_loc, queries, k, n_loc, n_total):
     d = jnp.where(ok, d, topk.INF_DIST)
     gd, gi = collectives.gather_candidates(d, i, ("table", "shard"))
     pd, pi = topk.empty_pool(queries.shape[0], k)
-    return topk.merge_topk_bitonic(pd, pi, gd, gi)
+    return topk.merge_topk(pd, pi, gd, gi)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "k", "n_total"))

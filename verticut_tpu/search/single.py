@@ -322,6 +322,18 @@ def _check_bitmap_engine(index: MIHIndex, scfg: SearchConfig) -> None:
             "the bitmap filter, or drop use_bitmap")
 
 
+def _check_query_shape(index: MIHIndex, queries) -> None:
+    """Queries must be uint32[Q, n_words] for this index's code width —
+    a mismatched word count would silently probe garbage substrings
+    (the reference validates the code size at load,
+    ``src/build_hash_tables.cc:42``)."""
+    if queries.ndim != 2 or queries.shape[-1] != index.cfg.n_words:
+        raise ValueError(
+            f"queries shape {tuple(queries.shape)} does not match index "
+            f"code width ({index.cfg.n_words} uint32 words = "
+            f"{index.cfg.bits} bits); expected [Q, {index.cfg.n_words}]")
+
+
 def _index_mask_bits(index: MIHIndex) -> int:
     """Bits the flip-mask enumeration runs over: the range directory's
     prefix width (probes are per-prefix), else the full substring width."""
@@ -742,6 +754,7 @@ def mih_search_dispatch(index: MIHIndex, queries,
     _check_bitmap_engine(index, scfg)
     cfg = index.cfg
     queries = jnp.asarray(queries, jnp.uint32)
+    _check_query_shape(index, queries)
     nq = queries.shape[0]
     tables = tuple(index.tables)
     k, pool_size = scfg.knn, scfg.pool_size
@@ -897,6 +910,7 @@ def mih_search(index: MIHIndex, queries, scfg: SearchConfig = SearchConfig(),
     cfg = index.cfg
     _check_bitmap_engine(index, scfg)
     queries = jnp.asarray(queries, jnp.uint32)
+    _check_query_shape(index, queries)
     nq = queries.shape[0]
     k, pool_size = scfg.knn, scfg.pool_size
     tables = tuple(index.tables)

@@ -23,16 +23,27 @@ def _host_fingerprint() -> str:
     is not supported"). Keying the directory by a host fingerprint makes a
     foreign cache entry simply a miss (recompile) instead of a crash."""
     tag = f"{platform.machine()}"
+    model = flags = ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("model name"):
+                if not model and line.startswith("model name"):
                     model = line.split(":", 1)[1].strip()
-                    tag += "-" + "".join(
-                        c if c.isalnum() else "_" for c in model)[:48]
+                elif not flags and line.startswith("flags"):
+                    flags = line.split(":", 1)[1].strip()
+                if model and flags:
                     break
     except OSError:
         pass
+    if model:
+        tag += "-" + "".join(c if c.isalnum() else "_" for c in model)[:48]
+    if flags:
+        # same model string != same enabled feature mask (VMs mask
+        # features); the AOT executables are specialized to the FLAGS, so
+        # hash the full sorted set into the key
+        import hashlib
+        h = hashlib.sha1(" ".join(sorted(flags.split())).encode())
+        tag += "-" + h.hexdigest()[:10]
     return tag
 
 
