@@ -32,11 +32,14 @@ def linear_search(queries, db, k: int, method: str = "auto",
         on_tpu = jax.devices()[0].platform == "tpu"
         method = ("blockmin"
                   if on_tpu and queries.shape[0] >= 256 else "popcount")
+    from verticut_tpu.utils.retry import with_compile_retry
     if method == "blockmin":
-        return hamming.scan_blockmin(queries, db, k,
-                                     chunk=max(chunk, 512 * 8))
+        return with_compile_retry(
+            lambda: hamming.scan_blockmin(queries, db, k,
+                                          chunk=max(chunk, 512 * 8)))
     if method == "popcount":
-        return hamming.scan_popcount(queries, db, k, chunk=chunk)
+        return with_compile_retry(
+            lambda: hamming.scan_popcount(queries, db, k, chunk=chunk))
     elif method == "matmul":
         return hamming.scan_matmul(queries, db, k, chunk=chunk)
     elif method == "pallas":

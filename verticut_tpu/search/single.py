@@ -784,7 +784,8 @@ def mih_search_dispatch(index: MIHIndex, queries,
     # x2, not x4: covers the typical clustered hot range at half the cost;
     # the rare double-overflow falls to the host retry (which quadruples)
     retry_caps = tuple(min(c * 2, max(scfg.candidate_cap, c)) for c in caps)
-    packed = fused_pipeline_packed(
+    from verticut_tpu.utils.retry import with_compile_retry
+    packed = with_compile_retry(lambda: fused_pipeline_packed(
         tables, index.codes, queries, masks_tuple,
         schedule=schedule, caps=caps, batch_caps=batch_caps,
         n_tables=cfg.n_tables, knn=k, pool_size=pool_size,
@@ -792,7 +793,7 @@ def mih_search_dispatch(index: MIHIndex, queries,
         s_bits=cfg.s_bits,
         retry_caps=retry_caps if retry_caps != caps else None,
         retry_budget=min(nq, max(64, nq // 4)),
-        scan_budget=scan_budget)
+        scan_budget=scan_budget))
     return FusedHandle(packed=packed, queries=queries, index=index,
                        scfg=scfg, cap=_cap)
 

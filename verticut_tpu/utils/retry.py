@@ -1,0 +1,55 @@
+"""Retry-once wrapper for transient remote-compile failures.
+
+On this rig every XLA compile travels through an HTTP relay
+(``/remote_compile``); long compiles occasionally die with
+"response body closed before all bytes were read" and similar transport
+errors, while the identical call succeeds immediately on retry (observed:
+approx k=500 fused compile failed once, succeeded in 30 s on the next
+attempt). A benchmark or serving process must not die on that. Only
+errors that name the remote-compile transport are retried — real compiler
+errors (OOM, lowering bugs) re-raise on the first attempt.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, TypeVar
+
+from verticut_tpu.utils.logging import get_logger
+
+T = TypeVar("T")
+
+_TRANSIENT_MARKERS = (
+    "remote_compile",
+    "response body closed",
+    "connection reset",
+    "Connection reset",
+    "EOF occurred",
+)
+
+
+def is_transient_compile_error(exc: BaseException) -> bool:
+    msg = str(exc)
+    return any(m in msg for m in _TRANSIENT_MARKERS)
+
+
+def with_compile_retry(fn: Callable[[], T], attempts: int = 3,
+                       backoff_s: float = 2.0) -> T:
+    """Call ``fn``; retry up to ``attempts`` times on transport-level
+    remote-compile failures (with linear backoff). Anything else raises
+    immediately."""
+    import jax  # noqa: F401  (errors module import is lazy below)
+
+    last: BaseException
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — filtered below
+            if not is_transient_compile_error(e) or i == attempts - 1:
+                raise
+            last = e
+            get_logger("retry").warning(
+                "transient remote-compile failure (attempt %d/%d): %s",
+                i + 1, attempts, str(e).splitlines()[-1][:200])
+            time.sleep(backoff_s * (i + 1))
+    raise last  # pragma: no cover — loop always returns or raises
