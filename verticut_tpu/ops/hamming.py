@@ -134,48 +134,84 @@ def scan_blockmin(queries: jax.Array, db: jax.Array, k: int,
     pos0 = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
     if engine == "auto":
-        engine = ("pallas" if jax.devices()[0].platform == "tpu"
+        # Mosaic requires the db operand in the default (8,128)-tiled
+        # layout; for a [N, 4] corpus XLA inserts a 32x relayout copy
+        # (64 B/code) before the kernel. Up to ~24M codes that transient
+        # is ~1.5 GB and the kernel's fused epilogue is a measured 2x win
+        # (DESIGN.md §1); beyond it the copy alone OOMs a 16 GB chip
+        # (51 GB at 100M — observed). Large corpora take the XLA
+        # fori_loop path, whose dynamic_slice reads [N, 4] in place.
+        fits = n_pad_rows * w * 4 * 32 <= (3 << 29)
+        engine = ("pallas" if fits and jax.devices()[0].platform == "tpu"
                   else "xla")
+    kb = min(k, nb)
+    idx_bits = max(1, (nb - 1).bit_length())
+    packable = (bits + 1).bit_length() <= 32 - idx_bits
+
+    def _chunk_blockmin(i):
+        """[Q, chunk//block] per-block minima of chunk i (XLA GEMM path)."""
+        base = i * chunk
+        chunk_codes = jax.lax.dynamic_slice(db_p, (base, 0), (chunk, w))
+        dpm = codes_lib.unpack_bits_pm1(chunk_codes)
+        dot = jax.lax.dot_general(
+            qpm, dpm, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d = ((bits - dot) * 0.5).astype(jnp.int32)
+        d = jnp.where(pos0 + base < n, d, topk.INF_DIST)  # pad rows
+        return jnp.min(d.reshape(q, chunk // block, block), axis=-1)
+
     if engine == "pallas" and chunk % (128 * block) == 0:
         # fused unpack+GEMM+max-epilogue kernel: the [Q, chunk] distance
         # slab never touches HBM (pass 1 alone measured 232 ms -> the
         # kernel's traffic bound is 16 B/db code; VERDICT r2 #4)
         from verticut_tpu.ops.pallas import pallas_blockmin
         blk_min = pallas_blockmin(queries, db_p, n, block=block)
+        if packable and nb > 2 * kb:
+            # packed block selection (ops/topk.select_desc): lax.top_k
+            # over a wide [Q, nb] axis is a full sort at runtime AND
+            # compiles pathologically (DESIGN.md §1); ties break to the
+            # lower block index, matching stable top_k
+            biota = jax.lax.broadcasted_iota(jnp.uint32, blk_min.shape, 1)
+            bkey = ~((jnp.clip(blk_min, 0, bits + 1).astype(jnp.uint32)
+                      << idx_bits) | biota)
+            bidx = (~topk.select_desc(bkey, kb)
+                    & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
+        else:
+            _, bidx = jax.lax.top_k(-blk_min, kb)         # stable: ties ->
+    elif packable:
+        # XLA path with block selection FOLDED INTO the scan loop: the
+        # carry is [Q, kb] packed (min, block-idx) keys, never the full
+        # [Q, nb] minima matrix — at 100M codes that matrix is 6 GB at
+        # Q=8192 and its selection ladder another 2x6 GB of sort temps
+        # (observed OOM); the folded merge is a narrow [Q, kb + cb]
+        # select per chunk. Same (min asc, idx asc) tie rule.
+        cb = chunk // block
+        mask_i = jnp.uint32((1 << idx_bits) - 1)
+
+        def body(i, carry):
+            bm = _chunk_blockmin(i)
+            gidx = (jax.lax.broadcasted_iota(jnp.uint32, (1, cb), 1)
+                    + (i * cb).astype(jnp.uint32))
+            keys = ~((jnp.clip(bm, 0, bits + 1).astype(jnp.uint32)
+                      << idx_bits) | gidx)
+            return topk.select_desc(
+                jnp.concatenate([carry, keys], axis=-1), kb)
+
+        top = jax.lax.fori_loop(0, n_chunks, body,
+                                jnp.zeros((q, kb), jnp.uint32))
+        # every block emits a valid key (clip keeps mins in-range), and
+        # nb >= kb, so the zero init sentinels cannot survive the loop
+        bidx = ((~top) & mask_i).astype(jnp.int32)
     else:
-        # fori_loop + dynamic_slice, NOT a [C, chunk, w] reshape +
-        # lax.scan: reshaping a [N, w] corpus to 3-D forces a lane-padded
-        # tiled copy (w=4 pads to 128 lanes -> 32x bytes, fatal at 100M)
+        # unpackable widths (tiny corpora / very wide codes): materialize
+        # [Q, nb] and select directly — small by construction here
         def body(i, blk_min):
-            base = i * chunk
-            chunk_codes = jax.lax.dynamic_slice(db_p, (base, 0), (chunk, w))
-            dpm = codes_lib.unpack_bits_pm1(chunk_codes)
-            dot = jax.lax.dot_general(
-                qpm, dpm, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            d = ((bits - dot) * 0.5).astype(jnp.int32)
-            d = jnp.where(pos0 + base < n, d, topk.INF_DIST)  # pad rows
-            bm = jnp.min(d.reshape(q, chunk // block, block), axis=-1)
             return jax.lax.dynamic_update_slice(
-                blk_min, bm, (0, i * (chunk // block)))
+                blk_min, _chunk_blockmin(i), (0, i * (chunk // block)))
 
         blk_min = jax.lax.fori_loop(
             0, n_chunks, body,
             jnp.full((q, nb), topk.INF_DIST, jnp.int32))
-
-    kb = min(k, nb)
-    idx_bits = max(1, (nb - 1).bit_length())
-    if (bits + 1).bit_length() <= 32 - idx_bits and nb > 2 * kb:
-        # packed block selection (ops/topk.select_desc): lax.top_k over
-        # a wide [Q, nb] axis is a full sort at runtime AND compiles
-        # pathologically (DESIGN.md §1); ties break to the lower block
-        # index, matching stable top_k
-        biota = jax.lax.broadcasted_iota(jnp.uint32, blk_min.shape, 1)
-        bkey = ~((jnp.clip(blk_min, 0, bits + 1).astype(jnp.uint32)
-                  << idx_bits) | biota)
-        bidx = (~topk.select_desc(bkey, kb)
-                & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
-    else:
         _, bidx = jax.lax.top_k(-blk_min, kb)             # stable: ties ->
     bidx = jnp.sort(bidx, axis=-1)                        # ascending pos
     # slice-gather straight off the [N, w] corpus — reshaping it to
