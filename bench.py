@@ -54,11 +54,15 @@ def main():
             0, n, cfg.bits, n_clusters=n // 200, flip_p=0.02)
         gen_s = time.time() - t0
         t0 = time.time()
-        # inline (id,code) rows when they fit (~32 B/entry/table);
-        # compact ids-only blocks beyond ~40M (DESIGN.md §3)
-        inline = n * 32 * cfg.n_tables <= 6 * (1 << 30)
+        # inline (id,code) rows when they fit (~20.5 B/entry/table with
+        # the tight blocked layout — 8.2 GB at 100M); compact ids-only
+        # blocks beyond that (DESIGN.md §3). Inline at 100M removes the
+        # per-candidate 16 B code gathers that dominated the compact cell
+        # (~16 ns/row x cap slots x 4 tables x 8192 queries ~ 2 s/batch).
+        inline = n * 21 * cfg.n_tables <= 10 * (1 << 30)
         index = build_index(packed_dev, cfg, store_codes=inline,
-                            directory="range")
+                            directory="range",
+                            keep_entry_ids=n < 20_000_000)
         float(jnp.sum(index.tables[-1].directory.se[-1]))  # hard sync
         build_s = time.time() - t0
         log(f"bench: device gen {gen_s:.1f}s build {build_s:.1f}s")

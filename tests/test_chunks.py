@@ -62,12 +62,13 @@ def test_chunk_descriptors_overflow_flag():
 
 
 def test_fetch_score_blocks():
-    from verticut_tpu.index.mih import make_entry_rows
+    from verticut_tpu.index.mih import entry_block_size, make_entry_rows
     rng = np.random.default_rng(1)
-    n, w, blk = 100, 4, 16
+    n, w = 100, 4
+    blk = entry_block_size(w)  # tight layout: 25 entries per 125-lane row
     cds = rng.integers(0, 2**32, (n, w), dtype=np.uint32)
     ids = np.arange(n, dtype=np.int32)
-    rows = make_entry_rows(jnp.asarray(ids), jnp.asarray(cds))  # pads to 128
+    rows = make_entry_rows(jnp.asarray(ids), jnp.asarray(cds))
     queries = rng.integers(0, 2**32, (3, w), dtype=np.uint32)
     blk_id = np.array([[0, 2], [5, 5], [7, 0]], np.int32)
     lo = np.array([[0, 4], [1, 0], [0, 0]], np.int32)

@@ -15,14 +15,15 @@ from verticut_tpu import native
 from verticut_tpu.config import MIHConfig
 from verticut_tpu.index import directory as dir_lib
 from verticut_tpu.index.bitmap import Bitmap
-from verticut_tpu.index.mih import (ENTRY_ROW_ALIGN, MIHIndex, MIHTable,
-                                    _row_width)
+from verticut_tpu.index.mih import (MIHIndex, MIHTable, _row_width,
+                                    entry_block_size, entry_row_align)
 
 
-def _host_range_dir(keys: np.ndarray, s_bits: int) -> dir_lib.RangeDirectory:
+def _host_range_dir(keys: np.ndarray, s_bits: int,
+                    blk: int = 16) -> dir_lib.RangeDirectory:
     """Range directory from the sorted host key column: a bincount over
     prefixes + prefix-sum (no per-key search)."""
-    pbits = dir_lib.pick_range_pbits(len(keys), s_bits)
+    pbits = dir_lib.pick_range_pbits(len(keys), s_bits, blk)
     shift = s_bits - pbits
     cnt = np.bincount((keys >> np.uint32(shift)).astype(np.int64),
                       minlength=1 << pbits)
@@ -36,8 +37,9 @@ def _host_entry_rows(ids: np.ndarray, codes_arr: np.ndarray) -> np.ndarray:
     """Blocked word-major (id, code) rows on host (mih.MIHTable.entry_rows)."""
     n, w = len(ids), codes_arr.shape[-1]
     rw = _row_width(w)
-    blk = 128 // rw
-    npad = -(-max(n, 1) // ENTRY_ROW_ALIGN) * ENTRY_ROW_ALIGN
+    blk = entry_block_size(w)
+    align = entry_row_align(w)
+    npad = -(-max(n, 1) // align) * align
     rows = np.zeros((npad, rw), np.uint32)
     rows[n:, 0] = 0xFFFFFFFF
     rows[:n, 0] = ids.astype(np.uint32)
@@ -49,9 +51,9 @@ def _host_entry_rows(ids: np.ndarray, codes_arr: np.ndarray) -> np.ndarray:
 
 def _host_entry_idrows(ids: np.ndarray) -> np.ndarray:
     """Blocked id-only rows (compact mode; mih.MIHTable.entry_idrows)."""
-    from verticut_tpu.index.mih import ID_ROW_BLOCK
+    from verticut_tpu.index.mih import ID_ROW_ALIGN, ID_ROW_BLOCK
     n = len(ids)
-    npad = -(-max(n, 1) // ENTRY_ROW_ALIGN) * ENTRY_ROW_ALIGN
+    npad = -(-max(n, 1) // ID_ROW_ALIGN) * ID_ROW_ALIGN
     out = np.full(npad, 0xFFFFFFFF, np.uint32)
     out[:n] = ids.astype(np.uint32)
     return out.reshape(npad // ID_ROW_BLOCK, ID_ROW_BLOCK)
@@ -80,7 +82,11 @@ def build_index_native(codes_arr: np.ndarray, cfg: MIHConfig = MIHConfig(),
         if directory == "dense":
             d = dir_lib.build_dense(jnp.asarray(keys), cfg.s_bits)
         elif directory == "range":
-            d = _host_range_dir(keys, cfg.s_bits)
+            from verticut_tpu.index.mih import ID_ROW_BLOCK
+            d = _host_range_dir(
+                keys, cfg.s_bits,
+                entry_block_size(cfg.n_words) if store_codes
+                else ID_ROW_BLOCK)
         elif directory == "hash":  # cuckoo rows from the host key column
             d = dir_lib.HashDirectory(
                 rows=jnp.asarray(native.build_hashdir(keys)))

@@ -17,7 +17,7 @@ verify against the caller-held code array).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, NamedTuple, Optional
+from typing import List, NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -59,60 +59,92 @@ class MIHTable(NamedTuple):
     def n_entries(self) -> int:
         if self.entry_ids is not None:
             return self.entry_ids.shape[0]
-        # entry_ids dropped (memory-tight compact build): padded count
-        return self.entry_idrows.shape[0] * self.entry_idrows.shape[1]
+        # entry_ids dropped (memory-tight blocked build): padded count
+        if self.entry_idrows is not None:
+            return self.entry_idrows.shape[0] * self.entry_idrows.shape[1]
+        # inline rows only: infer entries/block from the lane count
+        # (smallest row width wins; rw = 1 + n_words <= 17 up to 512 bits)
+        lanes = self.entry_rows.shape[1]
+        for rw in range(2, 18):
+            blk = 128 // rw
+            if blk * rw == lanes:
+                return self.entry_rows.shape[0] * blk
+        raise ValueError(f"unrecognized entry-row lane count {lanes}")
 
 
 ID_ROW_BLOCK = 32  # ids per compact-mode gather row (128 B)
 
 
+ID_ROW_ALIGN = 128  # idrow-count alignment (4 blocks of 32)
+
+
 def make_entry_idrows(sorted_ids: jax.Array) -> jax.Array:
     """Blocked id-only rows (compact mode; see MIHTable.entry_idrows)."""
     n = sorted_ids.shape[0]
-    npad = -(-max(n, 1) // ENTRY_ROW_ALIGN) * ENTRY_ROW_ALIGN
+    npad = -(-max(n, 1) // ID_ROW_ALIGN) * ID_ROW_ALIGN
     ids = jnp.full((npad,), jnp.uint32(0xFFFFFFFF))
     ids = ids.at[:n].set(sorted_ids.astype(jnp.uint32))
     return ids.reshape(npad // ID_ROW_BLOCK, ID_ROW_BLOCK)
 
 
-ENTRY_ROW_ALIGN = 128  # lcm of all block sizes (128 // row_width >= 8)
-
-
 def _row_width(n_words: int) -> int:
-    """Entry-row word count: 1 id word + code words, padded to a power of
-    two (keeps the blocked layout and lane slices aligned)."""
-    return max(4, 1 << int(n_words).bit_length())
+    """Entry-row word count: 1 id word + code words — TIGHT, no pow2
+    padding. The former pow2 pad (8 words at W=4) wasted 37.5% of every
+    row's bytes and HBM; tight 5-word entries pack 25 per 125-lane gather
+    block (500 B, still under the flat ~16 ns/row width ceiling), which is
+    both 1.56x more entries per fetched row and what makes 100M-scale
+    INLINE tables fit one 16 GB chip (~8.2 GB vs 12.8 GB)."""
+    return 1 + n_words
 
 
 def entry_block_size(n_words: int) -> int:
-    """Entries per fetch block: one block = 128 lanes = BLK * row_width."""
+    """Entries per fetch block: the largest BLK with BLK*row_width <= 128
+    lanes (one gather row <= 512 B)."""
     return 128 // _row_width(n_words)
+
+
+def entry_row_align(n_words: int) -> int:
+    """Row-count alignment of the blocked (id, code) layout: whole blocks,
+    x8 so sharded range-partitions can cut at block boundaries."""
+    return entry_block_size(n_words) * 8
 
 
 def make_entry_rows(sorted_ids: jax.Array, sorted_codes: jax.Array
                     ) -> jax.Array:
-    """Blocked word-major (id, code) rows (see MIHTable.entry_rows)."""
+    """Blocked word-major (id, code) rows (see MIHTable.entry_rows).
+
+    Assembled column-wise — id column, then one column per code word, each
+    a 1-D ``[npad] -> [NB, blk]`` reshape — NOT via a ``[npad, rw]``
+    transpose: 2-D reshapes of big [N, small] arrays were observed to
+    relayout into (8,128)-tiled form (32x the bytes, fatal at 100M;
+    CLAUDE.md layout traps), while 1-D reshapes and lane concatenation
+    lower clean."""
     n, w = sorted_codes.shape
-    rw = _row_width(w)
-    blk = 128 // rw
-    npad = -(-max(n, 1) // ENTRY_ROW_ALIGN) * ENTRY_ROW_ALIGN
-    rows = jnp.zeros((npad, rw), jnp.uint32)
-    rows = rows.at[:, 0].set(jnp.uint32(0xFFFFFFFF))
-    rows = rows.at[:n, 0].set(sorted_ids.astype(jnp.uint32))
-    rows = rows.at[:n, 1:1 + w].set(sorted_codes)
-    return rows.reshape(npad // blk, blk, rw).transpose(0, 2, 1) \
-               .reshape(npad // blk, blk * rw)
+    blk = entry_block_size(w)
+    align = entry_row_align(w)
+    npad = -(-max(n, 1) // align) * align
+    nb = npad // blk
+    ids = jnp.full((npad,), jnp.uint32(0xFFFFFFFF))
+    ids = ids.at[:n].set(sorted_ids.astype(jnp.uint32))
+    cols = [ids.reshape(nb, blk)]
+    pad = jnp.zeros((npad - n,), jnp.uint32)
+    for j in range(w):
+        col = sorted_codes[:, j]
+        if npad > n:
+            col = jnp.concatenate([col, pad])
+        cols.append(col.reshape(nb, blk))
+    return jnp.concatenate(cols, axis=-1)  # [NB, blk*rw]
 
 
 def unblock_entry_rows(entry_rows, n_words: int):
     """Host inverse of :func:`make_entry_rows`: blocked word-major rows →
     ``(ids uint32[Npad], codes uint32[Npad, W])`` in entry (bucket) order."""
     rows = np.asarray(entry_rows)
-    nb = rows.shape[0]
-    rw = _row_width(n_words)
-    blk = 128 // rw
-    flat = rows.reshape(nb, rw, blk).transpose(0, 2, 1).reshape(nb * blk, rw)
-    return flat[:, 0], flat[:, 1:1 + n_words]
+    blk = entry_block_size(n_words)
+    ids = rows[:, :blk].reshape(-1)
+    codes = np.stack([rows[:, (1 + j) * blk:(2 + j) * blk].reshape(-1)
+                      for j in range(n_words)], axis=-1)
+    return ids, codes
 
 
 @dataclasses.dataclass
@@ -151,46 +183,92 @@ def _make_directory(sorted_subs: jax.Array, cfg: MIHConfig,
 import functools
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _sort_pairs_jit(subs):
+    """Stable (substring, id) sort — its own program so the sort scratch
+    (~2x N) is freed before row assembly allocates (AOT-measured: the
+    fused one-program build peaked 14 GB at 100M; split + chunked
+    assembly peaks ~5 GB)."""
+    n = subs.shape[0]
+    ids = jnp.arange(n, dtype=jnp.int32)
+    return jax.lax.sort((subs, ids), num_keys=2)
+
+
+def _assembly_chunks(npad: int, align: int,
+                     target: int = 5_000_000) -> Tuple[int, int]:
+    """(chunk_rows, padded_total): ~``target``-entry assembly chunks,
+    chunk a multiple of ``align`` (whole blocks), total = chunks * chunk
+    (>= npad; the extra rows carry invalid ids and sit beyond every
+    directory range)."""
+    n_chunks = max(1, -(-npad // target))
+    ch = -(-(-(-npad // n_chunks)) // align) * align
+    return ch, ch * n_chunks
+
+
 @functools.partial(
     jax.jit, static_argnames=("s_bits", "pbits", "store_codes"))
-def _build_table_range_jit(codes_arr, subs, *, s_bits: int, pbits: int,
-                           store_codes: bool):
-    """One fused device program per range table: stable sort,
-    range-directory offsets, blocked entry rows. Eager per-op building
-    costs a remote compile + dispatch round trip per op on this rig
-    (~8 ops/table) and risks layout-relayout copies on the big
-    intermediates; fused it is ONE compile shared by every table (the
-    substring column is an argument, so table_id never specializes the
-    program) and XLA owns the layouts."""
+def _rows_dir_jit(codes_arr, sorted_subs, sorted_ids, *, s_bits: int,
+                  pbits: int, store_codes: bool):
+    """Range-directory offsets + blocked entry rows from the sorted
+    columns — ONE device program shared by every table (the substring
+    column is an argument, so table_id never specializes the program).
+
+    The blocked rows are assembled in ~5M-entry chunks inside a
+    ``fori_loop`` writing into the output: assembling whole-array
+    word-major columns materializes each [NB, blk] column lane-padded to
+    128 (5 x 2 GB of temps at 100M — AOT-measured 9.9 GB; the
+    reshape+transpose form measured 11.9 GB), while per-chunk assembly
+    bounds the padded temps at the chunk size (0.85 GB)."""
     n = codes_arr.shape[0]
-    ids = jnp.arange(n, dtype=jnp.int32)
-    sorted_subs, sorted_ids = jax.lax.sort((subs, ids), num_keys=2)
+    w = codes_arr.shape[1]
     shift = s_bits - pbits
     prefixes = (sorted_subs >> jnp.uint32(shift)).astype(jnp.uint32)
     grid = jnp.arange((1 << pbits) + 1, dtype=jnp.int32).astype(jnp.uint32)
     offs = jnp.searchsorted(prefixes, grid, side="left").astype(jnp.int32)
     se = jnp.stack([offs[:-1], offs[1:]], axis=-1)
-    if store_codes:
-        rows = make_entry_rows(sorted_ids, codes_arr[sorted_ids])
-    else:
-        rows = make_entry_idrows(sorted_ids)
-    return sorted_ids, se, rows
+    if not store_codes:
+        return se, make_entry_idrows(sorted_ids)
+    blk = entry_block_size(w)
+    align = entry_row_align(w)
+    npad0 = -(-max(n, 1) // align) * align
+    ch, npad = _assembly_chunks(npad0, align)
+    nb = npad // blk
+    nbc = ch // blk
+    ids_p = jnp.full((npad,), jnp.uint32(0xFFFFFFFF))
+    ids_p = ids_p.at[:n].set(sorted_ids.astype(jnp.uint32))
+
+    def body(c, out):
+        idc = jax.lax.dynamic_slice(ids_p, (c * ch,), (ch,))
+        g = codes_arr[jnp.clip(idc, 0, n - 1).astype(jnp.int32)]
+        g = jnp.where((idc != jnp.uint32(0xFFFFFFFF))[:, None], g, 0)
+        cols = [idc.reshape(nbc, blk)]
+        cols += [g[:, j].reshape(nbc, blk) for j in range(w)]
+        return jax.lax.dynamic_update_slice(
+            out, jnp.concatenate(cols, axis=-1), (c * nbc, 0))
+
+    out = jnp.zeros((nb, blk * _row_width(w)), jnp.uint32)
+    return se, jax.lax.fori_loop(0, npad // ch, body, out)
 
 
 def _build_table(codes_arr: jax.Array, table_id: int, cfg: MIHConfig,
                  dense_threshold: int, store_codes: bool,
-                 with_bitmap: bool, directory: str) -> MIHTable:
+                 with_bitmap: bool, directory: str,
+                 keep_entry_ids: bool = True) -> MIHTable:
     n = codes_arr.shape[0]
     if directory == "auto":
         directory = "dense" if cfg.s_bits <= dense_threshold else "range"
     if directory == "range" and not with_bitmap:
-        pbits = dir_lib.pick_range_pbits(n, cfg.s_bits)
+        pbits = dir_lib.pick_range_pbits(
+            n, cfg.s_bits,
+            entry_block_size(cfg.n_words) if store_codes else ID_ROW_BLOCK)
         subs = codes_lib.substring(codes_arr, table_id, cfg.s_bits)
-        sorted_ids, se, rows = _build_table_range_jit(
-            codes_arr, subs, s_bits=cfg.s_bits, pbits=pbits,
-            store_codes=store_codes)
+        sorted_subs, sorted_ids = _sort_pairs_jit(subs)
+        se, rows = _rows_dir_jit(codes_arr, sorted_subs, sorted_ids,
+                                 s_bits=cfg.s_bits, pbits=pbits,
+                                 store_codes=store_codes)
         d = dir_lib.RangeDirectory(se=se, s_bits=cfg.s_bits)
-        return MIHTable(entry_ids=sorted_ids, entry_codes=None,
+        return MIHTable(entry_ids=sorted_ids if keep_entry_ids else None,
+                        entry_codes=None,
                         directory=d, bitmap=None,
                         entry_rows=rows if store_codes else None,
                         entry_idrows=None if store_codes else rows)
@@ -217,13 +295,18 @@ def _build_table(codes_arr: jax.Array, table_id: int, cfg: MIHConfig,
 def build_index(codes_arr, cfg: MIHConfig = MIHConfig(),
                 dense_threshold: int = 24, store_codes: bool = True,
                 with_bitmap: bool = False, keep_codes: bool = True,
-                directory: str = "auto") -> MIHIndex:
+                directory: str = "auto",
+                keep_entry_ids: bool = True) -> MIHIndex:
     """Build the full m-table index on device.
 
     ``codes_arr``: ``uint32[N, W]`` packed codes, row i = image id i
     (ids are implicit sequential, as in the reference's streaming build).
     ``directory``: auto | dense | prefix | sorted | hash (auto = dense for
     narrow substrings, cuckoo hash rows otherwise).
+    ``keep_entry_ids=False`` drops the per-table flat id column (4 B/entry
+    duplicated inside the blocked rows) — the memory-tight option for
+    100M+ range-engine builds; only the legacy bucket engine and
+    integrity tooling need the flat column.
     """
     codes_arr = jnp.asarray(codes_arr, dtype=jnp.uint32)
     if codes_arr.shape[-1] != cfg.n_words:
@@ -231,7 +314,7 @@ def build_index(codes_arr, cfg: MIHConfig = MIHConfig(),
             f"codes have {codes_arr.shape[-1]} words, config wants {cfg.n_words}")
     tables = [
         _build_table(codes_arr, t, cfg, dense_threshold, store_codes,
-                     with_bitmap, directory)
+                     with_bitmap, directory, keep_entry_ids)
         for t in range(cfg.n_tables)
     ]
     return MIHIndex(cfg=cfg, tables=tables, n=codes_arr.shape[0],
@@ -292,6 +375,13 @@ def load_index(path: str) -> MIHIndex:
                if f"t{t}_bitmap" in z else None)
         ec = (jnp.asarray(z[f"t{t}_codes"]) if f"t{t}_codes" in z else None)
         er = (jnp.asarray(z[f"t{t}_rows"]) if f"t{t}_rows" in z else None)
+        if er is not None:
+            want = entry_block_size(cfg.n_words) * _row_width(cfg.n_words)
+            if er.shape[1] != want:
+                raise ValueError(
+                    f"saved entry_rows have {er.shape[1]} lanes; this "
+                    f"build expects {want} (tight blocked layout) — "
+                    f"rebuild the index from codes")
         eir = (jnp.asarray(z[f"t{t}_idrows"]) if f"t{t}_idrows" in z
                else None)
         ei = (jnp.asarray(z[f"t{t}_ids"]) if f"t{t}_ids" in z else None)

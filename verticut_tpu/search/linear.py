@@ -34,9 +34,26 @@ def linear_search(queries, db, k: int, method: str = "auto",
                   if on_tpu and queries.shape[0] >= 256 else "popcount")
     from verticut_tpu.utils.retry import with_compile_retry
     if method == "blockmin":
+        # narrower blocks at large k (the rescore gathers k blocks/query),
+        # and slice the query batch so the [Q, k, block, W] rescore buffer
+        # stays bounded — at (q=8192, k=500, block=512) it is 33 GB and
+        # OOMs the chip (observed in the r3 oracle drive)
+        block = 512 if k <= 32 else 128
+        per_q = max(1, k * block * db.shape[1] * 4)
+        max_q = max(256, (1 << 31) // per_q)
+        nq = queries.shape[0]
+        if nq > max_q:
+            parts = [with_compile_retry(
+                lambda lo=lo: hamming.scan_blockmin(
+                    queries[lo:lo + max_q], db, k,
+                    chunk=max(chunk, 512 * 8), block=block))
+                for lo in range(0, nq, max_q)]
+            return (jnp.concatenate([p[0] for p in parts]),
+                    jnp.concatenate([p[1] for p in parts]))
         return with_compile_retry(
             lambda: hamming.scan_blockmin(queries, db, k,
-                                          chunk=max(chunk, 512 * 8)))
+                                          chunk=max(chunk, 512 * 8),
+                                          block=block))
     if method == "popcount":
         return with_compile_retry(
             lambda: hamming.scan_popcount(queries, db, k, chunk=chunk))

@@ -48,7 +48,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from verticut_tpu import codes as codes_lib
 from verticut_tpu.config import MIHConfig, SearchConfig
 from verticut_tpu.index import directory as dir_lib
-from verticut_tpu.index.mih import entry_block_size
+from verticut_tpu.index.mih import entry_block_size, entry_row_align
 from verticut_tpu.ops import chunks as chunks_lib
 from verticut_tpu.ops import enumeration, topk
 from verticut_tpu.parallel import collectives
@@ -62,7 +62,7 @@ from verticut_tpu.search.single import (SearchResult, SearchState,
 class ShardedMIHIndex:
     """Global-view arrays laid out over the mesh.
 
-    ``entry_rows [m, NB, 128]`` (blocked word-major (id, code) rows, see
+    ``entry_rows [m, NB, blk*rw]`` (blocked word-major (id, code) rows, see
     index/mih.MIHTable.entry_rows) is sharded P(table, shard);
     ``se [m, 2^pbits, 2]`` (range directory, global row coordinates) is
     sharded P(table) and replicated over shard/query; ``codes [Ntot, W]``
@@ -74,7 +74,7 @@ class ShardedMIHIndex:
     mesh: Mesh
     n: int
     n_rows: int                 # padded per-table row count (Ntot)
-    entry_rows: jax.Array       # uint32[m, NB, 128]
+    entry_rows: jax.Array       # uint32[m, NB, blk*rw]
     se: jax.Array               # int32[m, 2^pbits, 2]
     codes: jax.Array            # uint32[Ntot, W]
 
@@ -102,10 +102,9 @@ def build_sharded_index(codes_arr, cfg: MIHConfig, mesh: Mesh,
     codes_arr = jnp.asarray(codes_arr, jnp.uint32)
     n = codes_arr.shape[0]
     blk = entry_block_size(cfg.n_words)
-    rw = 128 // blk
     n_shards = mesh.shape["shard"]
     # every shard slice must hold whole blocks
-    unit = n_shards * 128
+    unit = n_shards * entry_row_align(cfg.n_words)
     n_tot = -(-max(n, 1) // unit) * unit
     n_pad = n_tot - n
     pbits = pbits or dir_lib.pick_range_pbits(n, cfg.s_bits, blk)
@@ -125,16 +124,17 @@ def build_sharded_index(codes_arr, cfg: MIHConfig, mesh: Mesh,
         si = ids[si_pos]
         sc = jnp.where((si >= 0)[:, None],
                        codes_arr[jnp.clip(si, 0, n - 1)], 0)
-        rows = jnp.zeros((n_tot, rw), jnp.uint32)
-        rows = rows.at[:, 0].set(si.astype(jnp.uint32))
-        rows = rows.at[:, 1:1 + cfg.n_words].set(sc)
-        rows_t.append(rows.reshape(n_tot // blk, blk, rw)
-                      .transpose(0, 2, 1).reshape(n_tot // blk, blk * rw))
+        # column-wise word-major assembly (same trap avoidance as
+        # index/mih.make_entry_rows: no 2-D transpose of [N, small])
+        nb = n_tot // blk
+        cols = [si.astype(jnp.uint32).reshape(nb, blk)]
+        cols += [sc[:, j].reshape(nb, blk) for j in range(cfg.n_words)]
+        rows_t.append(jnp.concatenate(cols, axis=-1))
         pref = (sk >> jnp.uint32(shift)).astype(jnp.uint32)
         offs = jnp.searchsorted(pref, grid, side="left").astype(jnp.int32)
         se_t.append(jnp.stack([offs[:-1], offs[1:]], axis=-1))
 
-    entry_rows = jnp.stack(rows_t)              # [m, NB, 128]
+    entry_rows = jnp.stack(rows_t)              # [m, NB, blk*rw]
     se = jnp.stack(se_t)                        # [m, 2^p, 2]
     codes_padded = jnp.concatenate(
         [codes_arr, jnp.zeros((n_pad, cfg.n_words), jnp.uint32)])
@@ -158,7 +158,7 @@ def _device_radius_step(entry_rows, se, queries, q_subs, masks,
                         n_mesh_tables, n_shards, knn, cap, approximate,
                         s_bits, pbits, n_rows, n_total):
     """One radius step on one device. Local blocks: entry_rows
-    [Tl, NBl, 128], se [Tl, 2^p, 2] (global row coords), queries [Ql, W],
+    [Tl, NBl, blk*rw], se [Tl, 2^p, 2] (global row coords), queries [Ql, W],
     q_subs [Ql, m], state leaves [Ql, ...]."""
     gather_axes = ("table", "shard")
     t0 = jax.lax.axis_index("table")
@@ -394,7 +394,8 @@ def _sharded_fused_search(index: ShardedMIHIndex, queries,
     if not schedule:
         return None
     caps = tuple(_cap or _cap_for_radius(scfg, cfg, index.n, g, pool_size,
-                                         index.pbits, True)
+                                         index.pbits, True,
+                                         entry_block_size(cfg.n_words))
                  for _, g in schedule)
     nq_loc = nq // mesh.shape["query"]
     batch_caps = tuple(
@@ -456,7 +457,8 @@ def sharded_mih_search(index: ShardedMIHIndex, queries,
         for r, group in _radius_schedule(scfg, cfg, index.n, index.pbits,
                                          True):
             cap = _cap or _cap_for_radius(scfg, cfg, index.n, group,
-                                          pool_size, index.pbits, True)
+                                          pool_size, index.pbits, True,
+                                          entry_block_size(cfg.n_words))
             masks = _device_masks(index.pbits, group)
             state = sharded_radius_step(
                 mesh, index.entry_rows, index.se, queries_d, q_subs, masks,

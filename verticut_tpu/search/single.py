@@ -37,10 +37,12 @@ from verticut_tpu.ops import chunks as chunks_lib
 from verticut_tpu.ops import enumeration, topk
 from verticut_tpu.search import linear as linear_lib
 
-# Fetch-block size for the range-directory engine: 16 rows x 32 B = 512 B
-# per gather row — the widest row that still gathers at the flat ~16 ns/row
-# issue rate (DESIGN.md §1 measurement table).
-RANGE_BLK = 16
+# Default fetch-block size for range-engine cost models when the caller
+# doesn't pass the index's real block (inline tight rows: 25 entries x
+# 20 B = 500 B/row; compact idrows: 32 ids x 4 B = 128 B/row — both under
+# the ~512 B width ceiling where gathers still issue at the flat
+# ~16 ns/row rate, DESIGN.md §1). 32 upper-bounds both layouts.
+RANGE_BLK = 32
 
 
 class SearchState(NamedTuple):
