@@ -89,6 +89,10 @@ def main():
     p.add_argument("--tables", type=int, default=4)
     p.add_argument("--k", type=int, default=10,
                    help="ground-truth neighbors to recover")
+    p.add_argument("--json", help="write a JSON artifact of the results")
+    p.add_argument("--shortlists",
+                   help="comma list of shortlist sizes to sweep (the "
+                        "standard recall@k@R curve); overrides --shortlist")
     p.add_argument("--shortlist", type=int, default=0,
                    help="Hamming top-R shortlist (default: 10*k)")
     p.add_argument("--train-sample", type=int, default=50000)
@@ -143,38 +147,61 @@ def main():
     index = build_index_native(base_codes, cfg)
     build_s = time.time() - t0
 
-    shortlist = args.shortlist or 10 * args.k
-    scfg = SearchConfig(knn=shortlist)
+    if args.shortlists:
+        shortlists = [int(s) for s in args.shortlists.split(",")]
+    else:
+        shortlists = [args.shortlist or 10 * args.k]
     qc = jnp.asarray(query_codes)
-    mih_search(index, qc, scfg)  # warm/compile (the tool reports steady state)
-    t0 = time.time()
-    res = mih_search(index, qc, scfg)
-    search_s = time.time() - t0
-
-    # recall@1@R and recall@k@R (standard binary-hashing evaluation: is the
-    # true neighbor inside the Hamming top-R shortlist)
-    hits = 0
-    hits1 = 0
-    for i in range(nq):
-        found = set(res.ids[i].tolist())
-        hits += len(set(gt[i].tolist()) & found)
-        hits1 += 1 if int(gt[i, 0]) in found else 0
-    recall = hits / float(nq * args.k)
-    recall1 = hits1 / float(nq)
-    # reference-style distance ratio on the features
-    # (accuracy_test.cc:118-126: mean of d(found)/d(true) per rank)
     bf = base_f.astype(np.float32)
     qf = query_f.astype(np.float32)
-    found = np.clip(res.ids[:, :args.k], 0, len(base_f) - 1)
-    d_found = np.linalg.norm(bf[found] - qf[:, None, :], axis=-1)
     d_true = np.linalg.norm(bf[gt] - qf[:, None, :], axis=-1)
-    ratio = float(np.mean(d_found / np.maximum(d_true, 1e-6)))
+    rows = []
+    for shortlist in shortlists:
+        scfg = SearchConfig(knn=shortlist)
+        mih_search(index, qc, scfg)  # warm/compile (steady-state numbers)
+        t0 = time.time()
+        res = mih_search(index, qc, scfg)
+        search_s = time.time() - t0
 
-    print(f"recall@1 (shortlist {shortlist}): {recall1:.4f}")
-    print(f"recall@{args.k} (shortlist {shortlist}): {recall:.4f}")
-    print(f"distance ratio: {ratio:.4f}")
-    print(f"train {train_s:.1f}s encode {encode_s:.1f}s build {build_s:.1f}s "
-          f"search {search_s:.2f}s ({nq / max(search_s, 1e-9):.0f} qps)")
+        # recall@1@R and recall@k@R (standard binary-hashing evaluation:
+        # is the true neighbor inside the Hamming top-R shortlist)
+        hits = 0
+        hits1 = 0
+        for i in range(nq):
+            found = set(res.ids[i].tolist())
+            hits += len(set(gt[i].tolist()) & found)
+            hits1 += 1 if int(gt[i, 0]) in found else 0
+        recall = hits / float(nq * args.k)
+        recall1 = hits1 / float(nq)
+        # reference-style distance ratio on the features
+        # (accuracy_test.cc:118-126: mean of d(found)/d(true) per rank)
+        found = np.clip(res.ids[:, :args.k], 0, len(base_f) - 1)
+        d_found = np.linalg.norm(bf[found] - qf[:, None, :], axis=-1)
+        ratio = float(np.mean(d_found / np.maximum(d_true, 1e-6)))
+
+        print(f"recall@1 (shortlist {shortlist}): {recall1:.4f}")
+        print(f"recall@{args.k} (shortlist {shortlist}): {recall:.4f}")
+        print(f"distance ratio: {ratio:.4f}")
+        print(f"train {train_s:.1f}s encode {encode_s:.1f}s "
+              f"build {build_s:.1f}s "
+              f"search {search_s:.2f}s ({nq / max(search_s, 1e-9):.0f} qps)")
+        rows.append({"shortlist": shortlist, "recall_at_1": round(recall1, 4),
+                     f"recall_at_{args.k}": round(recall, 4),
+                     "distance_ratio": round(ratio, 4),
+                     "search_s": round(search_s, 3),
+                     "qps": round(nq / max(search_s, 1e-9), 1)})
+
+    if args.json:
+        import json
+        art = {"dataset": ("synthetic" if args.synth else args.base),
+               "n_base": int(len(base_f)), "n_queries": int(nq),
+               "dim": int(base_f.shape[1]), "bits": args.bits,
+               "n_tables": args.tables, "k": args.k,
+               "train_s": round(train_s, 1), "encode_s": round(encode_s, 1),
+               "build_s": round(build_s, 1), "sweep": rows}
+        with open(args.json, "w") as f:
+            f.write(json.dumps(art) + "\n")
+        log(f"bigann: wrote {args.json}")
 
 
 if __name__ == "__main__":

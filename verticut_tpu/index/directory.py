@@ -233,9 +233,13 @@ class RangeDirectory:
 
 
 def pick_range_pbits(n: int, s_bits: int, blk: int = 16) -> int:
-    """Prefix width targeting ~blk/2 expected rows per range (so most
-    ranges fit one fetch block), clamped to keep ``se`` ≤ 128 MB."""
-    target = max(1, blk // 2)
+    """Prefix width targeting ~8 expected rows per range (most ranges fit
+    one fetch block at any supported block width), clamped to keep ``se``
+    ≤ 128 MB. The target is capped independent of wide blocks: candidate
+    caps and merge widths grow with expected rows faster than the probe
+    count shrinks (measured at 1M: pbits 16 vs 17 raised mean scored
+    candidates 1283 -> 1893 for the same throughput at best)."""
+    target = max(1, min(blk, 16) // 2)
     p = max(1, (max(n, 2) - 1).bit_length() - (target - 1).bit_length())
     return max(4, min(24, s_bits, p))
 
