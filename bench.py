@@ -100,7 +100,8 @@ def main():
     # warmup (compile all radius levels this workload touches)
     t0 = time.time()
     res = mih_search(index, queries, scfg)
-    log(f"bench: warmup+compile {time.time()-t0:.1f}s "
+    warmup_s = time.time() - t0
+    log(f"bench: warmup+compile {warmup_s:.1f}s "
         f"radii={np.bincount(res.radius).tolist()}")
     assert (res.dists[:, 0] <= 3).all(), "planted neighbor missed"
 
@@ -164,7 +165,7 @@ def main():
         oq = queries[:oracle_nq]
         res_o = mih_search(index, oq, scfg)
         t0 = time.time()
-        od, _ = linear_search(oq, index.codes, k)
+        od, _ = linear_search(oq, index.codes, k, db_t=index.codes_t)
         float(jnp.sum(od))  # hard sync (relay)
         oracle_s = time.time() - t0
         ok = bool(np.array_equal(np.sort(np.asarray(res_o.dists), axis=-1),
@@ -195,6 +196,7 @@ def main():
             "batch_latency_s": round(lat, 4),
             "pipelined_batch_s": round(dt, 4),
             "build_s": round(build_s, 2),
+            "warmup_s": round(warmup_s, 2),
             "mean_radius": float(np.mean(res.radius)),
             "mean_probes": float(np.mean(res.n_probes)),
             "mean_cands": float(np.mean(res.n_cands)),

@@ -64,6 +64,65 @@ def test_pallas_blockmin_revisited_out_tile():
     assert np.array_equal(got, _blockmin_ref(raw_q, raw_db, n, npad, block))
 
 
+def test_transpose_scan_layout_roundtrip():
+    from verticut_tpu.codes import SCAN_PAD_UNIT, transpose_scan_layout
+    rng = np.random.default_rng(3)
+    db = rng.integers(0, 2**32, size=(1000, 4), dtype=np.uint32)
+    dt = np.asarray(transpose_scan_layout(jnp.asarray(db)))
+    assert dt.shape == (8, SCAN_PAD_UNIT)
+    assert np.array_equal(dt[:4, :1000], db.T)
+    assert not dt[4:].any() and not dt[:, 1000:].any()
+
+
+def test_pallas_blockmin_t_matches_reference():
+    """Interpret-mode check of the transposed-db kernel: pad blocks and
+    the straddling block report the min over zero pad rows (the CALLER
+    masks/fixes them — scan_blockmin_t's contract), so compare against
+    the raw-pad oracle."""
+    from verticut_tpu.codes import transpose_scan_layout
+    from verticut_tpu.ops.pallas import pallas_blockmin_t
+    rng = np.random.default_rng(9)
+    block, n = 512, 63321                        # npad=65536, rem=341
+    raw_db = rng.integers(0, 256, size=(n, 16), dtype=np.uint8)
+    raw_q = rng.integers(0, 256, size=(10, 16), dtype=np.uint8)
+    q = jnp.asarray(codes.pack_bytes(raw_q))
+    db = jnp.asarray(codes.pack_bytes(raw_db))
+    db_t = transpose_scan_layout(db)
+    npad = db_t.shape[1]
+    got = np.asarray(pallas_blockmin_t(q, db_t, block=block,
+                                       interpret=True))
+    raw_pad = np.zeros((npad, 16), np.uint8)
+    raw_pad[:n] = raw_db
+    expect = _blockmin_ref(raw_q, raw_pad, npad, npad, block)
+    assert np.array_equal(got, expect)
+
+
+def test_scan_blockmin_t_matches_oracle(monkeypatch):
+    """End-to-end transposed blockmin scan vs brute force, forcing the
+    multi-chunk folded selection (CHUNK_T shrunk to 4 chunks) and a
+    straddling tail block."""
+    from verticut_tpu import codes as codes_mod
+    from verticut_tpu.codes import transpose_scan_layout
+    from verticut_tpu.ops import hamming
+    monkeypatch.setattr(hamming, "CHUNK_T", 16384)
+    rng = np.random.default_rng(11)
+    n, k = 64873, 9                              # npad=65536 -> 4 chunks
+    raw_db = rng.integers(0, 256, size=(n, 16), dtype=np.uint8)
+    raw_q = rng.integers(0, 256, size=(6, 16), dtype=np.uint8)
+    # adversarial: a near-duplicate of query 0 just past the last chunk
+    # boundary and inside the straddling tail block
+    raw_db[49152 + 7] = raw_q[0]
+    raw_db[n - 3] = raw_q[0] ^ np.uint8(1)
+    q = jnp.asarray(codes.pack_bytes(raw_q))
+    db = jnp.asarray(codes.pack_bytes(raw_db))
+    db_t = transpose_scan_layout(db)
+    d1, i1 = hamming.scan_blockmin_t(q, db, db_t, k, block=128,
+                                     interpret=True)
+    ed, ei = ref.brute_force(raw_q, raw_db, k)
+    assert np.array_equal(np.asarray(d1), ed)
+    assert np.array_equal(np.asarray(i1), ei)
+
+
 def test_pallas_scan_matches_oracle():
     rng = np.random.default_rng(1)
     raw_db = rng.integers(0, 256, size=(700, 16), dtype=np.uint8)

@@ -216,6 +216,36 @@ def unpack_bits_pm1(codes: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     return (2 * bits.astype(jnp.int32) - 1).astype(dtype)
 
 
+#: transposed-scan-copy padding: the code count is padded to a
+#: SCAN_PAD_UNIT multiple (= 128*block for every supported blockmin block
+#: size), and past one SCAN_CHUNK to a SCAN_CHUNK multiple so
+#: ops/hamming.scan_blockmin_t's chunked fold never clamp-overlaps its
+#: dynamic_slice (worst-case waste < SCAN_CHUNK codes = 128 MB).
+SCAN_PAD_UNIT = 128 * 512
+SCAN_CHUNK = 4 * 1024 * 1024
+
+
+@jax.jit
+def transpose_scan_layout(db: jax.Array) -> jax.Array:
+    """``uint32[N, W] -> uint32[8, Npad]`` transposed scan copy of a
+    corpus (words on sublanes, codes on lanes; rows W..7 and lanes >= N
+    zero).
+
+    This is the operand layout of the no-relayout Pallas blockmin kernel
+    (ops/pallas.pallas_blockmin_t): [8, N] IS the natural (8,128)-tiled
+    form, so feeding it to Mosaic inserts no copy at any N — unlike the
+    row-major [N, W] operand whose tiling lane-pads W to 128 (32x bytes at
+    W=4, OOM beyond ~24M codes). Costs 32 B/code HBM (~3.2 GB at 100M)
+    and ~2.5 ns/code to build once at index-build time.
+    """
+    n, w = db.shape
+    npad = -(-max(n, 1) // SCAN_PAD_UNIT) * SCAN_PAD_UNIT
+    if npad > SCAN_CHUNK:
+        npad = -(-npad // SCAN_CHUNK) * SCAN_CHUNK
+    out = jnp.zeros((8, npad), jnp.uint32)
+    return jax.lax.dynamic_update_slice(out, db.T, (0, 0))
+
+
 def hamming_via_matmul(q_pm1: jax.Array, db_pm1: jax.Array) -> jax.Array:
     """``[Q, B] x [N, B] -> int32[Q, N]`` Hamming distances on the MXU."""
     bits = q_pm1.shape[-1]

@@ -157,6 +157,10 @@ class MIHIndex:
     tables: List[MIHTable]
     n: int                      # number of indexed codes
     codes: Optional[jax.Array]  # uint32[N, W] original id-ordered codes
+    #: transposed scan copy uint32[8, Npad] (codes.transpose_scan_layout)
+    #: feeding the no-relayout Pallas blockmin kernel; built on TPU only
+    #: (derived — never persisted), None elsewhere
+    codes_t: Optional[jax.Array] = None
 
     def table_subs(self, queries: jax.Array) -> jax.Array:
         """Substring values of a query batch for every table: [Q, m]."""
@@ -296,7 +300,8 @@ def build_index(codes_arr, cfg: MIHConfig = MIHConfig(),
                 dense_threshold: int = 24, store_codes: bool = True,
                 with_bitmap: bool = False, keep_codes: bool = True,
                 directory: str = "auto",
-                keep_entry_ids: bool = True) -> MIHIndex:
+                keep_entry_ids: bool = True,
+                scan_copy: Optional[bool] = None) -> MIHIndex:
     """Build the full m-table index on device.
 
     ``codes_arr``: ``uint32[N, W]`` packed codes, row i = image id i
@@ -307,6 +312,9 @@ def build_index(codes_arr, cfg: MIHConfig = MIHConfig(),
     duplicated inside the blocked rows) — the memory-tight option for
     100M+ range-engine builds; only the legacy bucket engine and
     integrity tooling need the flat column.
+    ``scan_copy``: also keep the transposed scan copy ``codes_t`` (32
+    B/code, feeds the no-relayout Pallas blockmin scan — the engine for
+    scan-dominated workloads). Default: on TPU whenever codes are kept.
     """
     codes_arr = jnp.asarray(codes_arr, dtype=jnp.uint32)
     if codes_arr.shape[-1] != cfg.n_words:
@@ -318,7 +326,20 @@ def build_index(codes_arr, cfg: MIHConfig = MIHConfig(),
         for t in range(cfg.n_tables)
     ]
     return MIHIndex(cfg=cfg, tables=tables, n=codes_arr.shape[0],
-                    codes=codes_arr if keep_codes else None)
+                    codes=codes_arr if keep_codes else None,
+                    codes_t=_maybe_scan_copy(codes_arr, keep_codes,
+                                             scan_copy))
+
+
+def _maybe_scan_copy(codes_arr: jax.Array, keep_codes: bool,
+                     scan_copy: Optional[bool]) -> Optional[jax.Array]:
+    """codes_t policy: explicit flag wins; auto = TPU and codes kept (the
+    scan engines rescore off the row-major array, so both must exist)."""
+    if scan_copy is None:
+        scan_copy = keep_codes and jax.devices()[0].platform == "tpu"
+    if not (scan_copy and keep_codes):
+        return None
+    return codes_lib.transpose_scan_layout(codes_arr)
 
 
 # --------------------------------------------------------------------------
@@ -388,4 +409,6 @@ def load_index(path: str) -> MIHIndex:
         tables.append(MIHTable(entry_ids=ei, entry_codes=ec, directory=d,
                                bitmap=bmp, entry_rows=er, entry_idrows=eir))
     codes_arr = jnp.asarray(z["codes"]) if "codes" in z else None
-    return MIHIndex(cfg=cfg, tables=tables, n=int(z["n"]), codes=codes_arr)
+    return MIHIndex(cfg=cfg, tables=tables, n=int(z["n"]), codes=codes_arr,
+                    codes_t=(_maybe_scan_copy(codes_arr, True, None)
+                             if codes_arr is not None else None))

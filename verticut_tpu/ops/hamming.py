@@ -213,6 +213,16 @@ def scan_blockmin(queries: jax.Array, db: jax.Array, k: int,
             0, n_chunks, body,
             jnp.full((q, nb), topk.INF_DIST, jnp.int32))
         _, bidx = jax.lax.top_k(-blk_min, kb)             # stable: ties ->
+    return _rescore_blocks(queries, db_p, n, bidx, k, block)
+
+
+def _rescore_blocks(queries, db_p, n, bidx, k: int, block: int):
+    """Gather the selected blocks, rescore exactly with popcount, select
+    the (dist, id)-lexicographic top-k over the narrow strip. Shared by
+    :func:`scan_blockmin` and :func:`scan_blockmin_t`. ``db_p`` must have
+    >= (max(bidx)+1)*block rows."""
+    q, w = queries.shape
+    kb = bidx.shape[1]
     bidx = jnp.sort(bidx, axis=-1)                        # ascending pos
     # slice-gather straight off the [N, w] corpus — reshaping it to
     # [nb, block*w] first forces a lane-padded tiled copy (32x at w=4)
@@ -252,6 +262,84 @@ def scan_blockmin(queries: jax.Array, db: jax.Array, k: int,
                         constant_values=int(topk.INF_DIST))
         out_i = jnp.pad(out_i, ((0, 0), (0, k - kk)), constant_values=-1)
     return out_d, out_i
+
+
+#: codes per Pallas call in scan_blockmin_t: bounds the [Q, CH/block]
+#: minima slab at ~130 MB (Q=8192, block=512) so 100M-scale scans never
+#: materialize the full [Q, nb] matrix. codes.transpose_scan_layout pads
+#: corpora beyond one chunk to a CHUNK_T multiple so the fori_loop's
+#: dynamic_slice never clamps (a clamped overlap would relabel block ids).
+CHUNK_T = codes_lib.SCAN_CHUNK
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block", "interpret"))
+def scan_blockmin_t(queries: jax.Array, db: jax.Array, db_t: jax.Array,
+                    k: int, block: int = 512, interpret: bool = False):
+    """Exact top-k block-min scan off the TRANSPOSED corpus copy.
+
+    Same contract and selection proof as :func:`scan_blockmin`, but pass 1
+    is the no-relayout fused Pallas kernel (ops/pallas.pallas_blockmin_t)
+    at ANY corpus size — the engine for 24M+ scans where the row-major
+    kernel's relayout copy OOMs and the XLA path writes [Q, chunk] slabs
+    (measured 19.5 s/batch at 100M, Q=8192 — the r3 uniform cell).
+
+    ``db_t`` is ``uint32[8, Npad]`` from codes.transpose_scan_layout(db);
+    block selection folds over CHUNK_T-code kernel calls with a packed
+    (min, block-idx) carry, so peak temp memory is ~Q*CHUNK_T/block keys.
+    """
+    q, w = queries.shape
+    bits = w * 32
+    n = db.shape[0]
+    npad = db_t.shape[1]
+    nb = npad // block
+    idx_bits = max(1, (nb - 1).bit_length())
+    if (bits + 1).bit_length() + idx_bits > 32:
+        raise ValueError(
+            f"(bits={bits}, nb={nb}) keys don't pack into uint32 — "
+            "use scan_blockmin(engine='xla')")
+    nfull = n // block
+    rem = n - nfull * block
+    nb_valid = nfull + (1 if rem else 0)
+    kb = min(k, nb_valid)
+    ch = CHUNK_T if npad % CHUNK_T == 0 else npad
+    cb = ch // block
+    mask_i = jnp.uint32((1 << idx_bits) - 1)
+
+    from verticut_tpu.ops.pallas import pallas_blockmin_t
+
+    def body(c, carry):
+        sl = jax.lax.dynamic_slice(db_t, (0, c * ch), (8, ch))
+        bm = pallas_blockmin_t(queries, sl, block=block,
+                               interpret=interpret)         # [Q, cb]
+        gidx = (jax.lax.broadcasted_iota(jnp.uint32, (1, cb), 1)
+                + (c * cb).astype(jnp.uint32))
+        keys = ~((jnp.clip(bm, 0, bits + 1).astype(jnp.uint32)
+                  << idx_bits) | gidx)
+        # pad blocks (>= nb_valid) and the straddling block min over pad
+        # rows (zeros!) would be wrong — mask to the 0 sentinel; the
+        # straddling block re-enters as an exact candidate below
+        keys = jnp.where(gidx >= jnp.uint32(nfull), jnp.uint32(0), keys)
+        return topk.select_desc(jnp.concatenate([carry, keys], axis=-1), kb)
+
+    top = jax.lax.fori_loop(0, npad // ch, body,
+                            jnp.zeros((q, kb), jnp.uint32))
+    if rem:
+        # exact straddling-block min over its valid rows only
+        tail = jax.lax.dynamic_slice(db_t, (0, nfull * block), (8, block))
+        td = jnp.sum(jax.lax.population_count(
+            tail[:w].T[None, :, :] ^ queries[:, None, :]).astype(jnp.int32),
+            axis=-1)                                       # [Q, block]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+        td = jnp.min(jnp.where(pos < rem, td, bits + 1), axis=-1)
+        tkey = ~((jnp.clip(td, 0, bits + 1).astype(jnp.uint32)
+                  << idx_bits) | jnp.uint32(nfull))
+        top = topk.select_desc(
+            jnp.concatenate([top, tkey[:, None]], axis=-1), kb)
+    # nb_valid >= kb and every valid block emits a nonzero key, so the
+    # zero init sentinels cannot survive the fold
+    bidx = ((~top) & mask_i).astype(jnp.int32)
+    db_p, _ = _pad_db(db, block)
+    return _rescore_blocks(queries, db_p, n, bidx, k, block)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))

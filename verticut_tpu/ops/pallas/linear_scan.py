@@ -172,6 +172,117 @@ def pallas_blockmin(queries: jax.Array, db_padded: jax.Array, n: int,
     return blk_min
 
 
+def _blockmin_kernel_t(q_ref, d_ref, out_ref, *, w, block, tt, qt):
+    """Transposed-db variant: fused unpack + MXU GEMM + per-block
+    max-of-dot epilogue over a ``uint32[8, Npad]`` corpus (words on
+    sublanes, codes on lanes — rows w..7 are zero).
+
+    Why a second kernel: `_blockmin_kernel` takes the db row-major
+    ``[Npad, W]``, and Mosaic requires its inputs in the default
+    (8,128)-tiled layout — for a W=4 corpus XLA inserts a 32x lane-pad
+    relayout copy before the kernel (64 B/code; 51 GB at 100M — the
+    reason scan_blockmin's auto engine fell back to the slab-writing XLA
+    path beyond ~24M). The ``[8, N]`` orientation IS the natural tiled
+    layout, so there is no relayout at ANY corpus size, and it is also
+    measured faster at every scale (1M/Q=8192: 36 vs 53 ms; 16M/Q=8192:
+    226 vs 476 ms; 16M/Q=32: 33 vs 67 ms on v5e — ~75% of peak bf16 MXU
+    at 16M/Q=8192).
+
+    Layout consequences vs `_blockmin_kernel`:
+    * rhs ``[B, TT]`` is built by SUBLANE-concatenating, per word, the
+      [1, TT] row broadcast over 32 sublanes and shifted by a sublane
+      iota (Mosaic cannot reshape across lanes; sublane concat lowers
+      clean).
+    * dot is ``q_pm [QT, B] x rhs [B, TT]`` — codes land on LANES, so the
+      per-block reduction is a lane-range max; with block >= 512 Mosaic
+      lowers it as a native cross-lane reduce, not the 7-stage shuffle
+      tree that made lane reductions slow at block-per-sublane widths.
+    * each grid step deposits its TT/block block maxima into lane slots
+      of the [QT, 128] output tile via a lane-iota select (the tile is
+      revisited by 128/(TT/block) consecutive steps)."""
+    j = pl.program_id(1)
+    spt = tt // block                       # out lanes written per step
+    s = (j % (128 // spt)) * spt            # first lane slot this step
+
+    @pl.when(j % (128 // spt) == 0)
+    def _():
+        out_ref[:] = jnp.zeros((qt, 128), jnp.bfloat16)
+
+    shifts = jax.lax.broadcasted_iota(jnp.uint32, (32, tt), 0)
+    parts = []
+    for i in range(w):
+        row = d_ref[i:i + 1, :]                            # [1, TT]
+        parts.append(
+            (jnp.broadcast_to(row, (32, tt)) >> shifts) & jnp.uint32(1))
+    b = jnp.concatenate(parts, axis=0)                     # [B, TT]
+    rhs = (2 * b.astype(jnp.int32) - 1).astype(jnp.bfloat16)
+    dot = jax.lax.dot_general(
+        q_ref[:], rhs, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [QT, TT]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (qt, 128), 1)
+    acc = out_ref[:]
+    for bi in range(spt):
+        m = jnp.max(dot[:, bi * block:(bi + 1) * block], axis=1,
+                    keepdims=True).astype(jnp.bfloat16)    # [QT, 1]
+        acc = jnp.where(lane == s + bi, m, acc)
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block", "q_tile", "t_tile", "interpret"))
+def pallas_blockmin_t(queries: jax.Array, db_t: jax.Array,
+                      block: int = 512, q_tile: int = 0, t_tile: int = 2048,
+                      interpret: bool = False) -> jax.Array:
+    """``uint32[Q, W] x uint32[8, Npad] -> int32[Q, Npad/block]`` per-block
+    Hamming-distance minima from a TRANSPOSED corpus (see
+    :func:`verticut_tpu.codes.transpose_scan_layout`).
+
+    Unlike :func:`pallas_blockmin` this has no corpus-size ceiling (no
+    relayout copy). Pad/tail semantics are the CALLER's: blocks past the
+    valid row count n report the min over pad rows too (pad codes are
+    zeros) — callers must mask trailing blocks and recompute the
+    straddling block (ops/hamming.scan_blockmin_t does both).
+    Npad must be a multiple of 128*block.
+    """
+    q, w = queries.shape
+    npad = db_t.shape[1]
+    bits = 32 * w
+    if q_tile == 0:
+        q_tile = 1024 if q > 512 else 256
+    if npad % (128 * block) or t_tile % block or (128 * block) % t_tile:
+        raise ValueError(f"bad shapes npad={npad} block={block} tt={t_tile}")
+    qp = (-q) % q_tile
+    if qp:
+        queries = jnp.concatenate(
+            [queries, jnp.broadcast_to(queries[:1], (qp, w))])
+    q_pm = codes_lib.unpack_bits_pm1(queries).astype(jnp.bfloat16)  # [Qp, B]
+    grid = (q_pm.shape[0] // q_tile, npad // t_tile)
+    mx = pl.pallas_call(
+        functools.partial(_blockmin_kernel_t, w=w, block=block,
+                          tt=t_tile, qt=q_tile),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q_tile, bits), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, t_tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (q_tile, 128), lambda i, j: (i, j // (128 // (t_tile // block))),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((q_pm.shape[0], npad // block),
+                                       jnp.bfloat16),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_pm.shape[0] * npad * bits,
+            bytes_accessed=(q_pm.shape[0] * bits * 2 + npad * 8 * 4
+                            + q_pm.shape[0] * (npad // block) * 2),
+            transcendentals=0),
+        interpret=interpret,
+    )(q_pm, db_t)
+    # bf16 is exact here: dot and the distances are integers in [-B, B]
+    return ((bits - mx[:q].astype(jnp.float32)) * 0.5).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("q_tile", "t_tile", "interpret"))
 def pallas_pairwise_hamming(queries: jax.Array, db: jax.Array,
                             q_tile: int = 256, t_tile: int = 512,

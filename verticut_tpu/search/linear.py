@@ -15,14 +15,18 @@ from verticut_tpu.ops import hamming
 
 
 def linear_search(queries, db, k: int, method: str = "auto",
-                  chunk: int = 65536):
+                  chunk: int = 65536, db_t=None):
     """Exact top-k: returns ``(dists int32[Q, k], ids int32[Q, k])``
     ascending by (dist, id).
 
-    method: "auto" picks the MXU ±1-GEMM formulation for large batches on
-    TPU (the VPU popcount scan materializes a [Q, chunk, W] intermediate —
-    ~50x slower at Q in the thousands) and popcount otherwise; both exact
-    (distances ≤ bits are integers exactly representable in bf16 dots).
+    method: "auto" on TPU picks the block-min pre-selection scan — the
+    fused no-relayout Pallas kernel when a transposed corpus copy ``db_t``
+    (codes.transpose_scan_layout / MIHIndex.codes_t) is supplied, the XLA
+    GEMM formulation otherwise — and the VPU popcount scan off-TPU. All
+    exact (distances ≤ bits are integers exactly representable in bf16
+    dots). Small query batches route through blockmin too: the popcount
+    path's per-chunk merges are wide-sort-bound above 2^24 ids (measured
+    4.5 s for 32 queries at 100M vs ~0.3 s blockmin).
     """
     queries = jnp.asarray(queries, jnp.uint32)
     db = jnp.asarray(db, jnp.uint32)
@@ -30,8 +34,7 @@ def linear_search(queries, db, k: int, method: str = "auto",
     if method == "auto":
         import jax
         on_tpu = jax.devices()[0].platform == "tpu"
-        method = ("blockmin"
-                  if on_tpu and queries.shape[0] >= 256 else "popcount")
+        method = "blockmin" if on_tpu else "popcount"
     from verticut_tpu.utils.retry import with_compile_retry
     if method == "blockmin":
         # narrower blocks at large k (the rescore gathers k blocks/query),
@@ -39,21 +42,29 @@ def linear_search(queries, db, k: int, method: str = "auto",
         # stays bounded — at (q=8192, k=500, block=512) it is 33 GB and
         # OOMs the chip (observed in the r3 oracle drive)
         block = 512 if k <= 32 else 128
+
+        def one(sq):
+            if db_t is not None:
+                nb_pad = db_t.shape[1] // block
+                packable = ((db.shape[1] * 32 + 1).bit_length()
+                            + max(1, (nb_pad - 1).bit_length())) <= 32
+                if packable:
+                    return hamming.scan_blockmin_t(sq, db, db_t, k,
+                                                   block=block)
+            return hamming.scan_blockmin(sq, db, k,
+                                         chunk=max(chunk, 512 * 8),
+                                         block=block)
+
         per_q = max(1, k * block * db.shape[1] * 4)
         max_q = max(256, (1 << 31) // per_q)
         nq = queries.shape[0]
         if nq > max_q:
             parts = [with_compile_retry(
-                lambda lo=lo: hamming.scan_blockmin(
-                    queries[lo:lo + max_q], db, k,
-                    chunk=max(chunk, 512 * 8), block=block))
+                lambda lo=lo: one(queries[lo:lo + max_q]))
                 for lo in range(0, nq, max_q)]
             return (jnp.concatenate([p[0] for p in parts]),
                     jnp.concatenate([p[1] for p in parts]))
-        return with_compile_retry(
-            lambda: hamming.scan_blockmin(queries, db, k,
-                                          chunk=max(chunk, 512 * 8),
-                                          block=block))
+        return with_compile_retry(lambda: one(queries))
     if method == "popcount":
         return with_compile_retry(
             lambda: hamming.scan_popcount(queries, db, k, chunk=chunk))

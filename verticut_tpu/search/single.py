@@ -399,10 +399,11 @@ def _scatter_rows(full: SearchState, orig: jax.Array,
     static_argnames=("schedule", "caps", "batch_caps", "n_tables", "knn",
                      "pool_size", "approximate", "use_bitmap", "s_bits",
                      "retry_caps", "retry_budget", "scan_budget"))
-def fused_pipeline(tables, all_codes, queries, q_subs, masks_tuple,
-                   state0: SearchState, *, schedule, caps, batch_caps,
-                   n_tables, knn, pool_size, approximate, use_bitmap,
-                   s_bits, retry_caps=None, retry_budget=0, scan_budget=0):
+def fused_pipeline(tables, all_codes, all_codes_t, queries, q_subs,
+                   masks_tuple, state0: SearchState, *, schedule, caps,
+                   batch_caps, n_tables, knn, pool_size, approximate,
+                   use_bitmap, s_bits, retry_caps=None, retry_budget=0,
+                   scan_budget=0):
     """The whole radius schedule as ONE device program.
 
     The loop driver costs one host round-trip per radius (the done-check)
@@ -438,15 +439,26 @@ def fused_pipeline(tables, all_codes, queries, q_subs, masks_tuple,
     scan_fn = None
     if all_codes is not None:
         from verticut_tpu.ops import hamming
+        # Smaller blocks at large k: the rescore gathers k blocks per
+        # query, so the gather bill is k*block rows — at k=100,
+        # block=512 is 51k rows/query while 128 is 12.8k.
+        blk = 512 if knn <= 32 else 128
+        use_t = False
+        if all_codes_t is not None:
+            nb_pad = all_codes_t.shape[1] // blk
+            use_t = ((all_codes.shape[1] * 32 + 1).bit_length()
+                     + max(1, (nb_pad - 1).bit_length())) <= 32
 
         def scan_fn(sq):
             # block-min pre-selection scan: MXU GEMM + per-block minima,
-            # selection over blocks only (ops/hamming.scan_blockmin).
-            # Smaller blocks at large k: the rescore gathers k blocks per
-            # query, so the gather bill is k*block rows — at k=100,
-            # block=512 is 51k rows/query while 128 is 12.8k.
-            return hamming.scan_blockmin(sq, all_codes, knn,
-                                         block=512 if knn <= 32 else 128)
+            # selection over blocks only. With a transposed corpus copy,
+            # pass 1 is the fused no-relayout Pallas kernel
+            # (ops/hamming.scan_blockmin_t) — no [Q, chunk] distance slab
+            # at any corpus size; else the XLA formulation.
+            if use_t:
+                return hamming.scan_blockmin_t(sq, all_codes, all_codes_t,
+                                               knn, block=blk)
+            return hamming.scan_blockmin(sq, all_codes, knn, block=blk)
 
     return run_pipeline(step_fn, scan_fn, queries, q_subs, state0,
                         schedule=schedule, caps=caps, batch_caps=batch_caps,
@@ -636,8 +648,9 @@ def _result_id_bits(tables, bits: int) -> int:
     static_argnames=("schedule", "caps", "batch_caps", "n_tables", "knn",
                      "pool_size", "approximate", "use_bitmap", "s_bits",
                      "retry_caps", "retry_budget", "scan_budget"))
-def fused_pipeline_packed(tables, all_codes, queries, masks_tuple, *,
-                          n_tables, pool_size, **kw) -> jax.Array:
+def fused_pipeline_packed(tables, all_codes, all_codes_t, queries,
+                          masks_tuple, *, n_tables, pool_size,
+                          **kw) -> jax.Array:
     """fused_pipeline as ONE dispatch end-to-end, result flattened into ONE
     array: uint32 ``[Q, P + 7]`` = [(dist << id_bits | id) pool | done
     radius overflow n_probes n_nonempty n_cands covf] when ids fit under
@@ -654,8 +667,9 @@ def fused_pipeline_packed(tables, all_codes, queries, masks_tuple, *,
     """
     q_subs = codes_lib.all_substrings(queries, n_tables)
     state0 = init_state(queries.shape[0], pool_size)
-    full, covf = fused_pipeline(tables, all_codes, queries, q_subs,
-                                masks_tuple, state0, n_tables=n_tables,
+    full, covf = fused_pipeline(tables, all_codes, all_codes_t, queries,
+                                q_subs, masks_tuple, state0,
+                                n_tables=n_tables,
                                 pool_size=pool_size, **kw)
     nq = queries.shape[0]
     cols = jnp.stack([full.done.astype(jnp.int32), full.radius,
@@ -788,7 +802,7 @@ def mih_search_dispatch(index: MIHIndex, queries,
     retry_caps = tuple(min(c * 2, max(scfg.candidate_cap, c)) for c in caps)
     from verticut_tpu.utils.retry import with_compile_retry
     packed = with_compile_retry(lambda: fused_pipeline_packed(
-        tables, index.codes, queries, masks_tuple,
+        tables, index.codes, index.codes_t, queries, masks_tuple,
         schedule=schedule, caps=caps, batch_caps=batch_caps,
         n_tables=cfg.n_tables, knn=k, pool_size=pool_size,
         approximate=scfg.approximate, use_bitmap=scfg.use_bitmap,
@@ -888,7 +902,8 @@ def _apply_fallbacks(index, queries, scfg, _cap, k, dists, ids, radius,
         if queries0 is None:
             queries0 = np.asarray(queries)
         idxs = np.nonzero(not_done)[0]
-        ld, li = linear_lib.linear_search(queries0[idxs], index.codes, k)
+        ld, li = linear_lib.linear_search(queries0[idxs], index.codes, k,
+                                          db_t=index.codes_t)
         dists[idxs] = np.asarray(ld)
         ids[idxs] = np.asarray(li)
 
