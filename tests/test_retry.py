@@ -13,6 +13,12 @@ def test_transient_classification():
     assert not is_transient_compile_error(RuntimeError(
         "RESOURCE_EXHAUSTED: out of memory allocating 4.0G"))
     assert not is_transient_compile_error(ValueError("shape mismatch"))
+    # a real compiler OOM travels back through the relay, so the message
+    # also names the /remote_compile URL — must NOT be retried
+    assert not is_transient_compile_error(RuntimeError(
+        "INTERNAL: http://127.0.0.1:8113/remote_compile: HTTP 500: "
+        "XLA:TPU compile permanent error. Ran out of memory in memory "
+        "space hbm. Used 15.80G of 15.75G hbm."))
 
 
 def test_retries_then_succeeds():

@@ -264,12 +264,33 @@ def _rescore_blocks(queries, db_p, n, bidx, k: int, block: int):
     return out_d, out_i
 
 
-#: codes per Pallas call in scan_blockmin_t: bounds the [Q, CH/block]
-#: minima slab at ~130 MB (Q=8192, block=512) so 100M-scale scans never
-#: materialize the full [Q, nb] matrix. codes.transpose_scan_layout pads
-#: corpora beyond one chunk to a CHUNK_T multiple so the fori_loop's
-#: dynamic_slice never clamps (a clamped overlap would relabel block ids).
+#: cap on codes per Pallas call in scan_blockmin_t.
+#: codes.transpose_scan_layout pads corpora beyond one chunk to a CHUNK_T
+#: multiple so the fori_loop's dynamic_slice never clamps (a clamped
+#: overlap would relabel block ids).
 CHUNK_T = codes_lib.SCAN_CHUNK
+
+#: cap on Q * (chunk/block) — the per-chunk selection operand. The
+#: select_desc ladder materializes ~3 uint32 copies of it (padded input +
+#: key/iota sort temps), so 2^27 keys ≈ 1.6 GB peak: small enough to fit
+#: beside a 100M inline index whose arguments already hold ~12.6 GB of
+#: the 15.75 GB HBM (the r3 k=100@100M cell OOM'd by 52 MB at 2^28.3).
+TARGET_KEYS_T = 1 << 27
+
+
+def _pick_chunk_t(npad: int, block: int, q: int) -> int:
+    """Largest per-call chunk that (a) is a multiple of the kernel grid
+    unit 128*block, (b) divides npad exactly (no clamped overlap), (c)
+    stays under CHUNK_T, and (d) keeps the selection slab q*(ch/block)
+    under TARGET_KEYS_T. Q-adaptive: oracle scans (Q≈32) get 4M-code
+    chunks, full serving batches (Q=8192) get ~2M at block=128."""
+    ch = 128 * block
+    if npad % ch:
+        raise ValueError(f"npad={npad} not a multiple of 128*block={ch}")
+    while (ch * 2 <= min(npad, CHUNK_T) and npad % (ch * 2) == 0
+           and q * ((ch * 2) // block) <= TARGET_KEYS_T):
+        ch *= 2
+    return ch
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block", "interpret"))
@@ -284,8 +305,9 @@ def scan_blockmin_t(queries: jax.Array, db: jax.Array, db_t: jax.Array,
     (measured 19.5 s/batch at 100M, Q=8192 — the r3 uniform cell).
 
     ``db_t`` is ``uint32[8, Npad]`` from codes.transpose_scan_layout(db);
-    block selection folds over CHUNK_T-code kernel calls with a packed
-    (min, block-idx) carry, so peak temp memory is ~Q*CHUNK_T/block keys.
+    block selection folds over chunked kernel calls (_pick_chunk_t) with a
+    packed (min, block-idx) carry, so peak temp memory is bounded by
+    TARGET_KEYS_T keys regardless of corpus size or query count.
     """
     q, w = queries.shape
     bits = w * 32
@@ -301,7 +323,7 @@ def scan_blockmin_t(queries: jax.Array, db: jax.Array, db_t: jax.Array,
     rem = n - nfull * block
     nb_valid = nfull + (1 if rem else 0)
     kb = min(k, nb_valid)
-    ch = CHUNK_T if npad % CHUNK_T == 0 else npad
+    ch = _pick_chunk_t(npad, block, q)
     cb = ch // block
     mask_i = jnp.uint32((1 << idx_bits) - 1)
 

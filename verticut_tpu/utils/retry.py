@@ -27,9 +27,21 @@ _TRANSIENT_MARKERS = (
     "EOF occurred",
 )
 
+#: real compiler verdicts that happen to travel back through the relay
+#: (so the message also names the /remote_compile URL) — never retry:
+#: the identical program will fail identically, and each wasted attempt
+#: costs a full recompile (observed: 2x ~13 s on the 100M k=100 OOM).
+_PERMANENT_MARKERS = (
+    "Ran out of memory",
+    "permanent error",
+    "RESOURCE_EXHAUSTED",
+)
+
 
 def is_transient_compile_error(exc: BaseException) -> bool:
     msg = str(exc)
+    if any(m in msg for m in _PERMANENT_MARKERS):
+        return False
     return any(m in msg for m in _TRANSIENT_MARKERS)
 
 
