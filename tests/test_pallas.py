@@ -64,6 +64,30 @@ def test_pallas_blockmin_revisited_out_tile():
     assert np.array_equal(got, _blockmin_ref(raw_q, raw_db, n, npad, block))
 
 
+def test_pick_chunk_t_invariants():
+    """The chunk picker must return a kernel-grid-aligned divisor of npad
+    and honor the selection-slab budget whenever the grid unit allows."""
+    from verticut_tpu.codes import SCAN_CHUNK, SCAN_PAD_UNIT
+    from verticut_tpu.ops import hamming
+    rng = np.random.default_rng(5)
+    for _ in range(200):
+        block = int(rng.choice([64, 128, 256, 512]))
+        m = int(rng.integers(1, 40))
+        npad = m * SCAN_PAD_UNIT
+        if npad > SCAN_CHUNK:                      # transpose pad rule
+            npad = -(-npad // SCAN_CHUNK) * SCAN_CHUNK
+        q = int(rng.choice([1, 32, 1024, 8192]))
+        ch = hamming._pick_chunk_t(npad, block, q)
+        assert ch % (128 * block) == 0
+        assert npad % ch == 0
+        assert ch <= hamming.CHUNK_T
+        # budget respected unless already violated at the minimum chunk
+        if q * ((128 * 128) // block) <= hamming.TARGET_KEYS_T:
+            half_ok = (ch == 128 * block
+                       or q * (ch // block) <= hamming.TARGET_KEYS_T)
+            assert half_ok
+
+
 def test_transpose_scan_layout_roundtrip():
     from verticut_tpu.codes import SCAN_PAD_UNIT, transpose_scan_layout
     rng = np.random.default_rng(3)
