@@ -291,34 +291,50 @@ def chunk_topk_affine(dists: jax.Array, base, k: int, n_valid,
 
 _TOPK_WIDE = 1536  # lax.top_k axis width beyond which compile time explodes
 
+# Widest axis where ONE native single-operand lax.top_k beats the blockwise
+# ladder at runtime — measured on the real chip (ROADMAP r3 #0, warm,
+# device-resident args, hard sync):
+#   [8192, 2048]->10 : ladder 33.2 ms  native  6.9 ms (4.8x)
+#   [8192, 4096]->10 : ladder 35.1 ms  native 18.9 ms (1.9x)
+#   [2048, 2048]->10 : ladder 10.3 ms  native  3.0 ms (3.4x)
+#   [8192, 8192]->10 : ladder 37.2 ms  native 46.1 ms (ladder wins)
+# uint32 full-range keys confirmed multiset-equal to the ladder on chip at
+# [8192, 2048]->10 and [2048, 4096]->100. The >13-min compile bomb (module
+# comment below) is specific to top_k's VARIADIC (key, iota) lowering when
+# the INDICES output is consumed; the value-only [0] form compiles fine at
+# these widths (measured: the numbers above include compile succeeding).
+_TOPK_NATIVE_W = 4096
+
 
 def select_desc(keys: jax.Array, m: int) -> jax.Array:
     """Largest ``m`` keys of the last axis, sorted descending — built ONLY
     from narrow native ``lax.top_k`` sorts (safe in any program context).
 
-    Blockwise shrink ladder: per-block ``top_k`` keeps every member of the
-    global top-``m`` (if a global winner fell outside its block's top-m,
-    the m better in-block keys would all outrank it — contradiction), so
-    repeated block-reduction then one final narrow sort is exact. Each
-    sort is ≤ ~2·max(2^ceil(log2 2m), 512) wide: neither lax.top_k's
-    compile-time explosion (see module comment) nor any wide-sort runtime
-    cost. Measured at [8192, 3132]→100: 8 ms vs lax.top_k's >13 min
-    compile. Pads with 0 (the invalid sentinel) when the axis is shorter
-    than ``m``.
+    Three regimes by measured cost (see ``_TOPK_NATIVE_W``):
+
+    * width ≤ 4096: ONE native value-only ``lax.top_k`` — up to 4.8x faster
+      than the ladder at the fused pipeline's stage-2 shapes.
+    * wider, m ≤ 1536: blockwise shrink ladder — per-block ``top_k`` keeps
+      every member of the global top-``m`` (if a global winner fell outside
+      its block's top-m, the m better in-block keys would all outrank it —
+      contradiction), so repeated block-reduction then one final narrow
+      sort is exact. Measured at [8192, 3132]→100: 8 ms vs the variadic
+      top_k's >13 min compile.
+    * m > 1536 (approximate k*20 pools): single-operand ``lax.sort`` +
+      ``flip`` — compiles flat in width where wide top_k explodes.
+
+    Pads with 0 (the invalid sentinel) when the axis is shorter than ``m``.
     """
     w = keys.shape[-1]
     kk = min(m, w)
     if kk > _TOPK_WIDE:
-        # keep-count itself is wide (approximate k*20 pools): every
-        # blockwise stage would be a ~2kk-wide top_k — the compile bomb
-        # is top_k's VARIADIC (key, iota) sort lowering, so use the
-        # single-operand lax.sort instead (ascending; flip is a plain
-        # lax.rev) — compiles flat in width where top_k explodes
         out = jnp.flip(jax.lax.sort(keys, dimension=-1), -1)[..., :kk]
+    elif w <= _TOPK_NATIVE_W:
+        out = jax.lax.top_k(keys, kk)[0]
     else:
         b = max(_pow2ceil(2 * kk), 512)
         x = keys
-        while x.shape[-1] > max(2 * b, _TOPK_WIDE):
+        while x.shape[-1] > max(2 * b, _TOPK_NATIVE_W):
             wx = x.shape[-1]
             nb = -(-wx // b)
             pad = nb * b - wx
@@ -368,7 +384,9 @@ def table_topk_packed(cand_dist: jax.Array, cand_id: jax.Array, p: int,
                    ~((cand_dist.astype(jnp.uint32) << shift)
                      | cand_id.astype(jnp.uint32)), jnp.uint32(0))
     c = kc.shape[-1]
-    if c > 2 * block and p < block:
+    # pre-reduce only past the native-top_k width — one direct top_k at
+    # <= _TOPK_NATIVE_W beats blockwise-then-final (2-4.8x measured)
+    if c > max(2 * block, _TOPK_NATIVE_W) and p < block:
         q = kc.shape[0]
         nb = -(-c // block)
         if nb * block != c:
@@ -429,7 +447,7 @@ def table_topk_pos(cand_dist: jax.Array, cand_id: jax.Array, p: int,
     kc = jnp.where(cand_id >= 0,
                    ~((cand_dist.astype(jnp.uint32) << shift) | pos),
                    jnp.uint32(0))
-    if c > 2 * block and p < block:
+    if c > max(2 * block, _TOPK_NATIVE_W) and p < block:
         nb = -(-c // block)
         if nb * block != c:
             kc = jnp.pad(kc, ((0, 0), (0, nb * block - c)),
