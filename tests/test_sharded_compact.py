@@ -114,6 +114,53 @@ def test_compact_build_raises_on_value_skew_overflow():
         build_sharded_compact(db, cfg, mesh, slack=1.01)
 
 
+@pytest.mark.parametrize("mesh_shape,reload_q", [
+    ((4, 2, 1), 1),   # same mesh back
+    ((4, 2, 1), 2),   # model axes equal, different query axis
+])
+def test_compact_save_load_roundtrip(tmp_path, mesh_shape, reload_q):
+    """The scale index must persist and restore per shard (VERDICT r3
+    missing #2 — the op-log checkpoint role, Pilaf/store-server.cc:58-94):
+    search-after-load must match the brute-force oracle exactly."""
+    from verticut_tpu.search.sharded_compact import (load_sharded_compact,
+                                                     save_sharded_compact)
+    m_t, m_s, m_q = mesh_shape
+    cfg = MIHConfig(bits=128, n_tables=4)
+    mesh = make_mesh(m_t, m_s, m_q)
+    db = make_db(1800, seed=21, clustered=True)
+    idx = build_sharded_compact(db, cfg, mesh, slack=2.5)
+    path = str(tmp_path / "cidx")
+    save_sharded_compact(path, idx)
+
+    mesh2 = make_mesh(m_t, m_s, reload_q)
+    idx2 = load_sharded_compact(path, mesh2)
+    assert idx2.n == idx.n and idx2.pbits == idx.pbits
+    assert idx2.cap_rows == idx.cap_rows
+    np.testing.assert_array_equal(np.asarray(idx2.idrows),
+                                  np.asarray(idx.idrows))
+    np.testing.assert_array_equal(np.asarray(idx2.se), np.asarray(idx.se))
+    nq = 8 * reload_q
+    q = np.asarray(db[:nq])
+    res = sharded_compact_search(idx2, q,
+                                 SearchConfig(knn=5, candidate_cap=1024))
+    ld, _ = linear_search(q, db, 5)
+    assert np.array_equal(np.sort(res.dists, -1),
+                          np.sort(np.asarray(ld), -1))
+    assert (res.dists[:, 0] == 0).all()
+
+
+def test_compact_load_rejects_mismatched_model_mesh(tmp_path):
+    from verticut_tpu.search.sharded_compact import (load_sharded_compact,
+                                                     save_sharded_compact)
+    cfg = MIHConfig(bits=128, n_tables=4)
+    idx = build_sharded_compact(make_db(800, seed=23), cfg,
+                                make_mesh(4, 2, 1), slack=2.5)
+    path = str(tmp_path / "cidx")
+    save_sharded_compact(path, idx)
+    with pytest.raises(ValueError, match="mesh"):
+        load_sharded_compact(path, make_mesh(4, 1, 2))
+
+
 def test_compact_approximate_mode():
     cfg = MIHConfig(bits=128, n_tables=4)
     mesh = make_mesh(4, 2, 1)

@@ -31,9 +31,14 @@ def main():
                    help="also build occupancy bitmaps")
     p.add_argument("--compact", action="store_true",
                    help="store entry ids only (no inline codes)")
+    p.add_argument("--mesh", default=None, metavar="TxSxQ",
+                   help="build the compact SHARDED index over a "
+                        "(table, shard, query) device mesh and save it "
+                        "per shard to the --out DIRECTORY (the 1B-scale "
+                        "layout, search/sharded_compact.py)")
     args = p.parse_args()
 
-    import numpy as np
+    import numpy as np  # noqa: F401  (kept for interactive debugging)
     from verticut_tpu import native
     from verticut_tpu.config import MIHConfig
     from verticut_tpu.index import build_index
@@ -45,6 +50,23 @@ def main():
     packed = native.read_code_file(args.binary_file, cfg.n_bytes,
                                    args.image_total)
     print(f"read {packed.shape[0]} codes in {time.time()-t0:.2f}s")
+
+    if args.mesh:
+        from verticut_tpu.parallel import make_mesh
+        from verticut_tpu.search.sharded_compact import (
+            build_sharded_compact, save_sharded_compact)
+        m_t, m_s, m_q = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(m_t, m_s, m_q)
+        t0 = time.time()
+        index = build_sharded_compact(packed, cfg, mesh)
+        st = index.memory_stats()
+        print(f"built compact sharded index over {index.n} codes on "
+              f"{st['n_devices']} devices in {time.time()-t0:.2f}s "
+              f"({st['bytes_per_code']:.1f} B/code)")
+        t0 = time.time()
+        save_sharded_compact(args.out, index)
+        print(f"saved per-shard to {args.out}/ in {time.time()-t0:.2f}s")
+        return
 
     t0 = time.time()
     if args.native:

@@ -265,6 +265,105 @@ def _build_compact_jit(mesh: Mesh, codes_d, *, n: int, n_tot: int,
 
 
 # --------------------------------------------------------------------------
+# Persistence — the scale-index checkpoint (the op-log role of
+# Pilaf/store-server.cc:58-94, adapted to build-then-freeze: we persist the
+# built artifact per device shard, never a monolithic pull — a single
+# device_get of a 100M+ index through the 5 MB/s relay would take hours).
+# --------------------------------------------------------------------------
+
+_SHARD_SAVE_META = "meta.json"
+
+
+def _model_arrays(index: ShardedCompactIndex):
+    return (("idrows", index.idrows), ("se", index.se),
+            ("codes", index.codes))
+
+
+def save_sharded_compact(path: str, index: ShardedCompactIndex) -> None:
+    """Persist the index as per-device shard files under directory ``path``.
+
+    Each (array, shard-offset) pair becomes one ``.npy`` (replicas across
+    the query axis dedup to one file); ``meta.json`` records config, mesh
+    model axes, and global shapes. Multi-host safe by construction: every
+    process saves only its addressable shards, so a shared filesystem
+    collects the full set exactly once per offset.
+    """
+    import json
+    import os
+    os.makedirs(path, exist_ok=True)
+    shapes = {}
+    for name, arr in _model_arrays(index):
+        shapes[name] = {"shape": list(arr.shape), "dtype": str(arr.dtype)}
+        seen = set()
+        for sh in arr.addressable_shards:
+            off = tuple(int(sl.start or 0) for sl in sh.index)
+            if off in seen:
+                continue  # query-axis replica
+            seen.add(off)
+            fn = os.path.join(
+                path, f"{name}_{'_'.join(map(str, off))}.npy")
+            np.save(fn, np.asarray(sh.data))
+    meta = {
+        "format": "verticut_tpu.sharded_compact.v1",
+        "bits": index.cfg.bits,
+        "n_tables": index.cfg.n_tables,
+        "n": index.n,
+        "pbits": index.pbits,
+        "cap_rows": index.cap_rows,
+        "mesh_table": index.mesh.shape["table"],
+        "mesh_shard": index.mesh.shape["shard"],
+        "arrays": shapes,
+    }
+    with open(os.path.join(path, _SHARD_SAVE_META), "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+def load_sharded_compact(path: str, mesh: Mesh) -> ShardedCompactIndex:
+    """Restore a saved index onto ``mesh`` (same table/shard axis sizes as
+    at save time; the query axis is free — model arrays replicate over it).
+
+    Assembly is per-device: ``jax.make_array_from_callback`` loads exactly
+    the shard file each local device needs (memory-mapped, so no host copy
+    of the full index ever exists).
+    """
+    import json
+    import os
+    with open(os.path.join(path, _SHARD_SAVE_META)) as f:
+        meta = json.load(f)
+    if (meta["mesh_table"] != mesh.shape["table"]
+            or meta["mesh_shard"] != mesh.shape["shard"]):
+        raise ValueError(
+            f"saved for mesh (table={meta['mesh_table']}, "
+            f"shard={meta['mesh_shard']}); got (table={mesh.shape['table']}"
+            f", shard={mesh.shape['shard']}) — resharding a saved index "
+            "requires a rebuild")
+    cfg = MIHConfig(bits=int(meta["bits"]), n_tables=int(meta["n_tables"]))
+    tspec = "table" if mesh.shape["table"] > 1 else None
+    specs = {
+        "idrows": P(tspec, "shard", None),
+        "se": P(tspec, "shard", None),
+        "codes": P(("table", "shard"), None),
+    }
+    out = {}
+    for name, spec in specs.items():
+        info = meta["arrays"][name]
+        shape = tuple(info["shape"])
+
+        def cb(idx, name=name):
+            off = tuple(int(sl.start or 0) for sl in idx)
+            fn = os.path.join(
+                path, f"{name}_{'_'.join(map(str, off))}.npy")
+            return np.load(fn, mmap_mode="r")
+
+        out[name] = jax.make_array_from_callback(
+            shape, NamedSharding(mesh, spec), cb)
+    return ShardedCompactIndex(
+        cfg=cfg, mesh=mesh, n=int(meta["n"]), pbits=int(meta["pbits"]),
+        cap_rows=int(meta["cap_rows"]), idrows=out["idrows"], se=out["se"],
+        codes=out["codes"])
+
+
+# --------------------------------------------------------------------------
 # Compact radius step: local id discovery → owner scoring → strip merge
 # --------------------------------------------------------------------------
 
