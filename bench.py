@@ -165,7 +165,11 @@ def main():
         oq = queries[:oracle_nq]
         res_o = mih_search(index, oq, scfg)
         t0 = time.time()
-        od, _ = linear_search(oq, index.codes, k, db_t=index.codes_t)
+        # independent formulation on purpose (ADVICE r3): the popcount
+        # engine shares no selection machinery with the scan tier the
+        # engine itself uses (blockmin_t + select_desc), so a shared
+        # miscompile cannot fake a pass (~4.5 s for 32 queries at 100M)
+        od, _ = linear_search(oq, index.codes, k, method="popcount")
         float(jnp.sum(od))  # hard sync (relay)
         oracle_s = time.time() - t0
         ok = bool(np.array_equal(np.sort(np.asarray(res_o.dists), axis=-1),

@@ -55,21 +55,31 @@ class MIHTable(NamedTuple):
     # (the 100M-1B memory/speed tradeoff, DESIGN.md §3).
     entry_idrows: Optional[jax.Array] = None
 
-    @property
-    def n_entries(self) -> int:
+    def n_entries(self, n_words: Optional[int] = None) -> int:
+        """Entry count (padded upper bound for blocked layouts).
+
+        ``n_words`` (the code word count, = ``queries.shape[-1]``) is
+        required for the inline blocked layout: several row widths can
+        share one lane count (e.g. 64x2 and 32x4 both fill 128 lanes), so
+        inferring the block size from lanes alone silently overestimates
+        for W in {3,5,6,7,8,...} — blk must come from the known word count.
+        """
         if self.entry_ids is not None:
             return self.entry_ids.shape[0]
         # entry_ids dropped (memory-tight blocked build): padded count
         if self.entry_idrows is not None:
             return self.entry_idrows.shape[0] * self.entry_idrows.shape[1]
-        # inline rows only: infer entries/block from the lane count
-        # (smallest row width wins; rw = 1 + n_words <= 17 up to 512 bits)
+        if n_words is None:
+            raise ValueError(
+                "n_entries of an inline blocked table needs n_words (the "
+                "lane count does not determine the block size uniquely)")
+        blk = entry_block_size(n_words)
         lanes = self.entry_rows.shape[1]
-        for rw in range(2, 18):
-            blk = 128 // rw
-            if blk * rw == lanes:
-                return self.entry_rows.shape[0] * blk
-        raise ValueError(f"unrecognized entry-row lane count {lanes}")
+        if blk * _row_width(n_words) != lanes:
+            raise ValueError(
+                f"entry-row lane count {lanes} does not match n_words="
+                f"{n_words} (expected {blk * _row_width(n_words)})")
+        return self.entry_rows.shape[0] * blk
 
 
 ID_ROW_BLOCK = 32  # ids per compact-mode gather row (128 B)

@@ -271,7 +271,7 @@ def radius_step(tables: Tuple[MIHTable, ...], all_codes: Optional[jax.Array],
     # Per-table pre-merge to pool_size-wide strips (ids are unique within
     # a table at one radius step — disjoint probe ranges), then one narrow
     # dedup merge; see ops/topk.py strip-merge rationale.
-    max_id = max(t.n_entries for t in tables)
+    max_id = max(t.n_entries(queries.shape[-1]) for t in tables)
     bits = queries.shape[-1] * 32
     p = state.pool_dist.shape[-1]
     if topk.can_pack(max_id - 1, bits):
@@ -637,7 +637,7 @@ def _result_id_bits(tables, bits: int) -> int:
     """Bits of id payload when one uint32 word can hold a (dist, id) result
     pair — 0 when it cannot (wide ids fall back to the 2P layout). Sized so
     every true distance 0..bits plus an all-ones sentinel fits above."""
-    max_id = max(t.n_entries for t in tables)
+    max_id = max(t.n_entries(bits // 32) for t in tables)
     id_bits = max(1, int(max_id - 1).bit_length())
     dist_bits = 32 - id_bits
     return id_bits if (1 << dist_bits) - 1 > bits else 0

@@ -34,13 +34,18 @@ _TRANSIENT_MARKERS = (
 _PERMANENT_MARKERS = (
     "Ran out of memory",
     "permanent error",
-    "RESOURCE_EXHAUSTED",
 )
 
 
 def is_transient_compile_error(exc: BaseException) -> bool:
     msg = str(exc)
     if any(m in msg for m in _PERMANENT_MARKERS):
+        return False
+    # RESOURCE_EXHAUSTED is permanent only when it is the compiler OOM
+    # verdict; a relay throttle/quota error carrying the same status
+    # string is transient and must stay retryable (ADVICE r3).
+    if "RESOURCE_EXHAUSTED" in msg and (
+            "memory" in msg.lower() or "OOM" in msg):
         return False
     return any(m in msg for m in _TRANSIENT_MARKERS)
 
