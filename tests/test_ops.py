@@ -293,6 +293,58 @@ def test_strip_merge_wide_pool_approx_shape():
     _run_strip_merge(packed_path=False, p=60, c=25, max_id=300)
 
 
+def test_chunkmin_strip_matches_direct():
+    """Chunk-min pre-selected strips must equal the direct per-table
+    selection on any chunk-major candidate layout (ids unique per row —
+    the per-table invariant), including winners packed into ONE chunk
+    (adversarial for the chunk pre-selection)."""
+    rng = np.random.default_rng(17)
+    q, blk, chb, p = 6, 32, 20, 7
+    c = blk * chb
+    for plant_one_chunk in (False, True):
+        cd, ci = _rand_cands(rng, q, c, max_id=100_000)
+        if plant_one_chunk:
+            # all p winners inside chunk 13 (ids disjoint from _rand_cands'
+            # 0..max_id range, keeping ids unique within each row)
+            lo = 13 * blk
+            ci[:, lo:lo + p] = np.arange(p, dtype=np.int32) + 200_000
+            cd[:, lo:lo + p] = 0  # best possible distance
+        jd, ji = jnp.asarray(cd), jnp.asarray(ci)
+        a = np.asarray(topk.table_topk_chunkmin_packed(jd, ji, p, blk))
+        b = np.asarray(topk.table_topk_packed(jd, ji, p))
+        assert np.array_equal(a, b), plant_one_chunk
+        ad, ai = topk.table_topk_chunkmin_pos(jd, ji, p, blk)
+        bd, bi = topk.table_topk_pos(jd, ji, p)
+        assert np.array_equal(np.asarray(ad), np.asarray(bd))
+        assert np.array_equal(np.asarray(ai), np.asarray(bi))
+
+
+def test_chunkmin_fallback_wide_p():
+    # p >= chb//2 must route to the direct path (and stay exact)
+    rng = np.random.default_rng(23)
+    q, blk, chb = 4, 25, 8
+    c = blk * chb
+    cd, ci = _rand_cands(rng, q, c, max_id=3000)
+    jd, ji = jnp.asarray(cd), jnp.asarray(ci)
+    for p in (chb // 2, c // 2):
+        a = np.asarray(topk.table_topk_chunkmin_packed(jd, ji, p, blk))
+        b = np.asarray(topk.table_topk_packed(jd, ji, p))
+        assert np.array_equal(a, b), p
+
+
+def test_chunkmin_pos_huge_ids():
+    # >2^24 ids: the pos-packed chunk-min path (the 100M corpus regime)
+    rng = np.random.default_rng(29)
+    q, blk, chb, p = 5, 32, 24, 9
+    cd, ci = _rand_cands(rng, q, blk * chb, max_id=90_000_000,
+                         base=(1 << 25) + 7)
+    jd, ji = jnp.asarray(cd), jnp.asarray(ci)
+    ad, ai = topk.table_topk_chunkmin_pos(jd, ji, p, blk)
+    bd, bi = topk.table_topk_pos(jd, ji, p)
+    assert np.array_equal(np.asarray(ad), np.asarray(bd))
+    assert np.array_equal(np.asarray(ai), np.asarray(bi))
+
+
 def test_select_desc_matches_sort():
     # the one wide-selection primitive (narrow native top_k compositions
     # only — the handwritten sorting networks it replaced returned wrong

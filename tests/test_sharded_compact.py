@@ -116,7 +116,7 @@ def test_compact_build_raises_on_value_skew_overflow():
 
 @pytest.mark.parametrize("mesh_shape,reload_q", [
     ((4, 2, 1), 1),   # same mesh back
-    ((4, 2, 1), 2),   # model axes equal, different query axis
+    ((4, 1, 1), 2),   # model axes equal, different query axis (8 devices)
 ])
 def test_compact_save_load_roundtrip(tmp_path, mesh_shape, reload_q):
     """The scale index must persist and restore per shard (VERDICT r3

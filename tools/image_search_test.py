@@ -1,14 +1,67 @@
 #!/usr/bin/env python
 """RPC load generator — the ``image-search-test`` binary analog
 (``src/image_search_test.cc:112-170``): sequential and concurrent
-(thread-per-query) throughput against a running image server."""
+(thread-per-query) throughput against a running image server, with
+per-request latency percentiles (p50/p90/p99) emitted as one JSON line.
+
+``--selfbuild N`` makes the run self-contained: build an N-code clustered
+index, start the in-process server, run the sequential and threaded loads,
+and print the artifact — the recorded serving row (VERDICT r3 missing #5).
+"""
 
 import argparse
+import json
 import sys
 import threading
 import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def run_load(cli, qids, knn, threads):
+    """Run one load; returns (wall_s, sorted per-request latencies)."""
+    lats = []
+    lock = threading.Lock()
+
+    def one(qid):
+        t0 = time.perf_counter()
+        r = cli.search_image_by_id(qid, knn)
+        dt = time.perf_counter() - t0
+        assert r, f"empty result for {qid}"
+        with lock:
+            lats.append(dt)
+
+    t0 = time.time()
+    if threads <= 1:
+        for qid in qids:
+            one(qid)
+    else:
+        errs = []
+
+        def worker(chunk):
+            try:
+                for qid in chunk:
+                    one(qid)
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        per = (len(qids) + threads - 1) // threads
+        ts = [threading.Thread(target=worker,
+                               args=(qids[i * per:(i + 1) * per],))
+              for i in range(threads)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        if errs:
+            raise errs[0]
+    return time.time() - t0, sorted(lats)
+
+
+def pcts(lats):
+    if not lats:
+        return {}
+    return {p: round(lats[min(len(lats) - 1, int(len(lats) * p / 100))] * 1e3,
+                     2)
+            for p in (50, 90, 99)}
 
 
 def main():
@@ -21,7 +74,32 @@ def main():
                    help="0 = sequential; else concurrent thread count")
     p.add_argument("--query_id_file", default=None,
                    help="file of query ids, one per line")
+    p.add_argument("--selfbuild", type=int, default=0, metavar="N",
+                   help="build an N-code index + in-process server, then "
+                        "run sequential AND threaded loads (one artifact)")
     args = p.parse_args()
+
+    server = None
+    if args.selfbuild:
+        import numpy as np
+        from verticut_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()
+        import jax
+        from verticut_tpu import codes
+        from verticut_tpu.config import MIHConfig
+        from verticut_tpu.index.build_native import build_index_native
+        from verticut_tpu.service import ImageSearchServer
+        cfg = MIHConfig()
+        print(f"selfbuild: {args.selfbuild} codes", file=sys.stderr,
+              flush=True)
+        packed = codes.clustered_codes(0, args.selfbuild, cfg.bits,
+                                       n_clusters=args.selfbuild // 200,
+                                       flip_p=0.02)
+        index = build_index_native(packed, cfg)
+        jax.block_until_ready(index.tables[-1].entry_ids)
+        server = ImageSearchServer(index, port=0,
+                                   default_knn=args.knn).start()
+        args.port = server.port
 
     from verticut_tpu.service import ImageSearchClient
 
@@ -33,33 +111,27 @@ def main():
     else:
         qids = list(range(args.num))
 
-    def one(qid):
-        r = cli.search_image_by_id(qid, args.knn)
-        assert r, f"empty result for {qid}"
+    if args.selfbuild:
+        # one artifact: warmup (compile), then sequential + threaded rows
+        run_load(cli, qids[:8], args.knn, 0)          # compile warm-up
+        rows = {}
+        for name, th in (("sequential", 0), ("threads16", 16),
+                         ("threads64", 64)):
+            dt, lats = run_load(cli, qids, args.knn, th)
+            rows[name] = {"qps": round(len(qids) / dt, 1),
+                          "latency_ms": pcts(lats)}
+            print(f"{name}: {rows[name]}", file=sys.stderr, flush=True)
+        print(json.dumps({
+            "metric": "serving_rpc", "n_codes": args.selfbuild,
+            "knn": args.knn, "n_queries": len(qids),
+            "device": str(jax.devices()[0].device_kind), **rows}))
+        server.stop()
+        return
 
-    t0 = time.time()
-    if args.threads <= 1:
-        for qid in qids:
-            one(qid)
-    else:
-        errs = []
-        def worker(chunk):
-            try:
-                for qid in chunk:
-                    one(qid)
-            except Exception as e:  # noqa: BLE001
-                errs.append(e)
-        per = (len(qids) + args.threads - 1) // args.threads
-        ts = [threading.Thread(target=worker,
-                               args=(qids[i * per:(i + 1) * per],))
-              for i in range(args.threads)]
-        [t.start() for t in ts]
-        [t.join() for t in ts]
-        if errs:
-            raise errs[0]
-    dt = time.time() - t0
+    dt, lats = run_load(cli, qids, args.knn, args.threads)
+    mode = "seq" if args.threads <= 1 else f"{args.threads} threads"
     print(f"{len(qids)} queries in {dt:.3f}s -> {len(qids)/dt:.1f} qps "
-          f"({'seq' if args.threads <= 1 else f'{args.threads} threads'})")
+          f"({mode}) p50/p90/p99 ms: {pcts(lats)}")
 
 
 if __name__ == "__main__":

@@ -430,6 +430,86 @@ def merge_strips_packed(pool_dist: jax.Array, pool_id: jax.Array,
     return pd, pid
 
 
+#: widest chunk axis admitted into the chunk-min variadic ``lax.top_k``
+#: (indices consumed). The r2 compile bomb was the variadic lowering at
+#: WIDE sorted axes (>13 min at [8192, 3132]); chunk counts here are
+#: 44-652, three orders narrower, and chip-verified by the oracle drive.
+_CHUNKMIN_MAX_CHB = 1024
+
+
+def table_topk_chunkmin_packed(cand_dist: jax.Array, cand_id: jax.Array,
+                               p: int, blk: int) -> jax.Array:
+    """Per-table top-``p`` inverted packed keys via CHUNK-MIN pre-selection.
+
+    ``cand_* [Q, C]`` arrive from the block fetch as ``C = chb*blk`` slots
+    in chunk-major order. Within ONE table at one radius step every id
+    appears at most once (disjoint probe ranges), so the table's top-``p``
+    elements by packed (dist, id) key occupy at most ``p`` chunks. Exact
+    selection therefore reduces first (the scan_blockmin insight applied to
+    enumeration candidates): per-chunk key maxima (inverted keys: max =
+    best) -> top-``p`` CHUNKS (narrow ``lax.top_k``, indices consumed at
+    chunk width 44-652, far below the wide-variadic compile cliff) ->
+    gather those chunks -> one narrow ``select_desc``. Proof: if a top-p
+    element's chunk were unselected, the p selected chunks each hold an
+    element strictly ordering before it — p distinct elements (one id is
+    in one chunk within a table), contradiction.
+
+    Measured motivation: the per-table ``lax.top_k [8192, 1100] -> 10``
+    strip selections were the single largest cost of the 1M k=10 batch
+    (17.3 of 55 ms for the 4-table merge — profile_stages2, r4); the
+    chunk-min path sorts 44-wide + 250-wide instead of 1100-wide.
+    Falls back to :func:`table_topk_packed` when ``p`` doesn't undercut
+    the chunk count. Requires ``can_pack`` bounds.
+    """
+    q, c = cand_dist.shape
+    chb = c // blk
+    if (p >= chb // 2 or c % blk or chb > _CHUNKMIN_MAX_CHB
+            or p > _TOPK_WIDE):
+        return table_topk_packed(cand_dist, cand_id, p)
+    shift = jnp.uint32(PACKED_ID_BITS)
+    kc = jnp.where(cand_id >= 0,
+                   ~((cand_dist.astype(jnp.uint32) << shift)
+                     | cand_id.astype(jnp.uint32)), jnp.uint32(0))
+    kc3 = kc.reshape(q, chb, blk)
+    cmax = jnp.max(kc3, axis=-1)                       # [Q, chb]
+    _, ci = jax.lax.top_k(cmax, p)                     # narrow variadic
+    g = jnp.take_along_axis(kc3, ci[..., None], axis=1).reshape(q, p * blk)
+    return select_desc(g, p)
+
+
+def table_topk_chunkmin_pos(cand_dist: jax.Array, cand_id: jax.Array,
+                            p: int, blk: int):
+    """Chunk-min pre-selection for UNBOUNDED ids (the >2^24 corpus path):
+    same chunk argument as :func:`table_topk_chunkmin_packed` with
+    (dist, slot) packed keys — slot order ties match
+    :func:`table_topk_pos` (slots ascend within and across chunks).
+    """
+    q, c = cand_dist.shape
+    chb = c // blk
+    if p >= chb // 2 or c % blk or chb > _CHUNKMIN_MAX_CHB or p > _TOPK_WIDE:
+        return table_topk_pos(cand_dist, cand_id, p)
+    assert c < (1 << PACKED_ID_BITS), f"candidate width {c} >= 2^24"
+    pos = jax.lax.broadcasted_iota(jnp.uint32, (1, c), 1)
+    shift = jnp.uint32(PACKED_ID_BITS)
+    kc = jnp.where(cand_id >= 0,
+                   ~((cand_dist.astype(jnp.uint32) << shift) | pos),
+                   jnp.uint32(0))
+    kc3 = kc.reshape(q, chb, blk)
+    cmax = jnp.max(kc3, axis=-1)
+    _, ci = jax.lax.top_k(cmax, p)
+    g = jnp.take_along_axis(kc3, ci[..., None], axis=1).reshape(q, p * blk)
+    kk = min(p, g.shape[-1])
+    top = select_desc(g, kk)
+    packed = ~top
+    invalid = top == jnp.uint32(0)
+    sel = jnp.clip((packed & jnp.uint32((1 << PACKED_ID_BITS) - 1))
+                   .astype(jnp.int32), 0, c - 1)
+    sid = jnp.take_along_axis(cand_id, sel, axis=-1)
+    sd = (packed >> shift).astype(jnp.int32)
+    return (jnp.where(invalid, INF_DIST, sd),
+            jnp.where(invalid, INVALID_ID, sid))
+
+
 def table_topk_pos(cand_dist: jax.Array, cand_id: jax.Array, p: int,
                    block: int = 512):
     """Per-table top-``p`` for UNBOUNDED ids: select by packed

@@ -211,13 +211,13 @@ def _device_radius_step(entry_rows, se, queries, q_subs, masks,
     p = state.pool_dist.shape[-1]
     if topk.can_pack(n_total - 1, queries.shape[-1] * 32):
         strips_l = jnp.concatenate(
-            [topk.table_topk_packed(d, i, p)
+            [topk.table_topk_chunkmin_packed(d, i, p, blk)
              for d, i in zip(all_d, all_i)], axis=-1)
         strips = collectives.gather_strips(strips_l, gather_axes)
         pd, pi = topk.merge_strips_packed(
             state.pool_dist, state.pool_id, strips, n_copies=n_tables + 1)
     else:
-        sd, si = zip(*[topk.table_topk_pos(d, i, p)
+        sd, si = zip(*[topk.table_topk_chunkmin_pos(d, i, p, blk)
                        for d, i in zip(all_d, all_i)])
         gd, gi = collectives.gather_candidates(
             jnp.concatenate(sd, axis=-1), jnp.concatenate(si, axis=-1),

@@ -452,8 +452,10 @@ def _device_radius_step_compact(idrows, se, codes_loc, queries, q_subs,
         ids_j = jnp.concatenate(i_parts, axis=-1)
         n_cands = n_cands + jnp.sum((ids_j >= 0).astype(jnp.int32), -1)
         # per-(global-table, device) strip; ids unique within each (unique
-        # per table ∧ owned subset) — ops/topk.py strip-merge invariant
-        d_s, i_s = topk.table_topk_pos(dist_j, ids_j, p_sz)
+        # per table ∧ owned subset) — ops/topk.py strip-merge invariant.
+        # Candidate axis is id-block-major, so the chunk-min pre-selection
+        # applies (falls back internally when p_sz doesn't undercut it).
+        d_s, i_s = topk.table_topk_chunkmin_pos(dist_j, ids_j, p_sz, blk)
         sd.append(d_s)
         si.append(i_s)
     strip_d = jnp.concatenate(sd, axis=-1)

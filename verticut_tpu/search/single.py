@@ -270,18 +270,26 @@ def radius_step(tables: Tuple[MIHTable, ...], all_codes: Optional[jax.Array],
 
     # Per-table pre-merge to pool_size-wide strips (ids are unique within
     # a table at one radius step — disjoint probe ranges), then one narrow
-    # dedup merge; see ops/topk.py strip-merge rationale.
+    # dedup merge; see ops/topk.py strip-merge rationale. The candidate
+    # axis is chunk-major (blk-slot fetch blocks), so the strip selection
+    # reduces per-chunk first (topk.table_topk_chunkmin_*) — the dominant
+    # cost of the 1M batch was these per-table wide selections (r4
+    # profile: 17.3 of 55 ms).
+    from verticut_tpu.index.mih import ID_ROW_BLOCK, entry_block_size
+    blk = (ID_ROW_BLOCK if tables[0].entry_rows is None
+           and tables[0].entry_idrows is not None
+           else entry_block_size(queries.shape[-1]))
     max_id = max(t.n_entries(queries.shape[-1]) for t in tables)
     bits = queries.shape[-1] * 32
     p = state.pool_dist.shape[-1]
     if topk.can_pack(max_id - 1, bits):
         strips = jnp.concatenate(
-            [topk.table_topk_packed(d, i, p)
+            [topk.table_topk_chunkmin_packed(d, i, p, blk)
              for d, i in zip(cands_d, cands_i)], axis=-1)
         pd, pi = topk.merge_strips_packed(
             state.pool_dist, state.pool_id, strips, n_copies=n_tables + 1)
     else:
-        sd, si = zip(*[topk.table_topk_pos(d, i, p)
+        sd, si = zip(*[topk.table_topk_chunkmin_pos(d, i, p, blk)
                        for d, i in zip(cands_d, cands_i)])
         pd, pi = topk.merge_strips_dedup_pos(
             state.pool_dist, state.pool_id,
@@ -548,35 +556,63 @@ def run_pipeline(step_fn, scan_fn, queries, q_subs, state0: SearchState, *,
         # exact linear fallback regardless) and re-run the schedule on them
         # — with its own shrinking stage batches: a handful of retried
         # queries needing radius 2+ must not drag the whole retry budget
-        # through the deep stages.
-        flag = full.overflow & full.done
-        idx = jnp.arange(nq, dtype=jnp.int32)
-        _, perm = jax.lax.sort(((~flag).astype(jnp.int32), idx), num_keys=2)
-        # Flagged rows beyond the retry budget keep overflow=True and are
-        # re-run by the host retry path — a round trip, but rare².
-        sel = perm[:retry_budget]
-        rq = queries[sel]
-        rqs = q_subs[sel]
-        flag_sel = flag[sel]
-        rstate = init_state(retry_budget, pool_size)._replace(done=~flag_sel)
-        retry_bc = tuple(
-            retry_budget if i == 0
-            else max(64, retry_budget >> (_stage_shift(knn) + 2 * (i - 1)))
-            for i in range(len(schedule)))
-        rfull = staged(rq, rqs, rstate, retry_caps, retry_bc)
+        # through the deep stages. TIERED like the scan stage (r4 tier
+        # profile: one nq/4-budget retry cost 10.5/20.5 ms per k=10/k=100
+        # batch to re-run ~340 flagged queries): a small tier catches the
+        # typical overflow count, the big tier lax.cond-skips unless the
+        # small one was outgrown.
+        small = min(retry_budget, max(64, nq // 16))
+        budgets = [small] + ([retry_budget] if retry_budget > small else [])
+        for bi, budget in enumerate(budgets):
+            flag = full.overflow & full.done
+            n_f = jnp.sum(flag.astype(jnp.int32))
+            idx = jnp.arange(nq, dtype=jnp.int32)
+            _, perm = jax.lax.sort(((~flag).astype(jnp.int32), idx),
+                                   num_keys=2)
+            # Flagged rows beyond the last budget keep overflow=True and
+            # are re-run by the host retry path — a round trip, but rare².
+            sel = perm[:budget]
+            rq = queries[sel]
+            rqs = q_subs[sel]
+            flag_sel = flag[sel]
+            retry_bc = tuple(
+                budget if i == 0
+                else max(64, budget >> (_stage_shift(knn) + 2 * (i - 1)))
+                for i in range(len(schedule)))
+            # first tier: fits its budget; later tier: only if the smaller
+            # one was outgrown (a tier that RAN either cleared the flags or
+            # left rows that 2x caps cannot fix — those go to the host)
+            lo_gate = 0 if bi == 0 else budgets[bi - 1]
+            run = n_f > lo_gate
+            if bi + 1 < len(budgets):
+                run = run & (n_f <= budget)
 
-        def _blend(f, c):
-            m = flag_sel.reshape((-1,) + (1,) * (c.ndim - 1))
-            return f.at[sel].set(jnp.where(m, c, f[sel]))
+            def _do(operand, budget=budget, retry_bc=retry_bc):
+                rq_, rqs_, flag_sel_ = operand
+                rstate = init_state(budget, pool_size)._replace(
+                    done=~flag_sel_)
+                return staged(rq_, rqs_, rstate, retry_caps, retry_bc)
 
-        # pools/flags come from the re-run; read-amplification stats keep
-        # the first run's counts (matching the host retry path's semantics)
-        full = full._replace(
-            pool_dist=_blend(full.pool_dist, rfull.pool_dist),
-            pool_id=_blend(full.pool_id, rfull.pool_id),
-            done=_blend(full.done, rfull.done),
-            radius=_blend(full.radius, rfull.radius),
-            overflow=_blend(full.overflow, rfull.overflow))
+            def _skip(operand, budget=budget):
+                _rq, _rqs, flag_sel_ = operand
+                return init_state(budget, pool_size)._replace(
+                    done=~flag_sel_)
+
+            rfull = jax.lax.cond(run, _do, _skip, (rq, rqs, flag_sel))
+            ok = flag_sel & run
+
+            def _blend(f, c, ok=ok, sel=sel):
+                m = ok.reshape((-1,) + (1,) * (c.ndim - 1))
+                return f.at[sel].set(jnp.where(m, c, f[sel]))
+
+            # pools/flags come from the re-run; read-amplification stats
+            # keep the first run's counts (matching the host retry path)
+            full = full._replace(
+                pool_dist=_blend(full.pool_dist, rfull.pool_dist),
+                pool_id=_blend(full.pool_id, rfull.pool_id),
+                done=_blend(full.done, rfull.done),
+                radius=_blend(full.radius, rfull.radius),
+                overflow=_blend(full.overflow, rfull.overflow))
 
     if scan_budget and scan_fn is not None:
         # Tiered scan: a small tier catches the common handful of
