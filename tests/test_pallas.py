@@ -102,7 +102,8 @@ def test_pallas_blockmin_t_matches_reference():
     """Interpret-mode check of the transposed-db kernel: pad blocks and
     the straddling block report the min over zero pad rows (the CALLER
     masks/fixes them — scan_blockmin_t's contract), so compare against
-    the raw-pad oracle."""
+    the raw-pad oracle. Covers both MXU operand paths (bf16 and int8 —
+    exact for ±1 operands at these widths)."""
     from verticut_tpu.codes import transpose_scan_layout
     from verticut_tpu.ops.pallas import pallas_blockmin_t
     rng = np.random.default_rng(9)
@@ -113,12 +114,13 @@ def test_pallas_blockmin_t_matches_reference():
     db = jnp.asarray(codes.pack_bytes(raw_db))
     db_t = transpose_scan_layout(db)
     npad = db_t.shape[1]
-    got = np.asarray(pallas_blockmin_t(q, db_t, block=block,
-                                       interpret=True))
     raw_pad = np.zeros((npad, 16), np.uint8)
     raw_pad[:n] = raw_db
     expect = _blockmin_ref(raw_q, raw_pad, npad, npad, block)
-    assert np.array_equal(got, expect)
+    for acc in ("bf16", "int8"):
+        got = np.asarray(pallas_blockmin_t(q, db_t, block=block, acc=acc,
+                                           interpret=True))
+        assert np.array_equal(got, expect), acc
 
 
 def test_scan_blockmin_t_matches_oracle(monkeypatch):
@@ -140,11 +142,12 @@ def test_scan_blockmin_t_matches_oracle(monkeypatch):
     q = jnp.asarray(codes.pack_bytes(raw_q))
     db = jnp.asarray(codes.pack_bytes(raw_db))
     db_t = transpose_scan_layout(db)
-    d1, i1 = hamming.scan_blockmin_t(q, db, db_t, k, block=128,
-                                     interpret=True)
     ed, ei = ref.brute_force(raw_q, raw_db, k)
-    assert np.array_equal(np.asarray(d1), ed)
-    assert np.array_equal(np.asarray(i1), ei)
+    for acc in ("bf16", "int8"):
+        d1, i1 = hamming.scan_blockmin_t(q, db, db_t, k, block=128,
+                                         acc=acc, interpret=True)
+        assert np.array_equal(np.asarray(d1), ed), acc
+        assert np.array_equal(np.asarray(i1), ei), acc
 
 
 def test_pallas_scan_matches_oracle():

@@ -171,6 +171,22 @@ def main():
             timed_loop(f"{tag} strips+merge k={k}", mg_body, (pd0, pi0),
                        *[a for pair in fs for a in pair])
 
+        # 4a. chunk-min strips + merge (the production path since r4)
+        for k in (10, 100):
+            pd0, pi0 = topk.empty_pool(nq, k)
+
+            def cm_body(i, carry, *fs_flat, k=k):
+                pd, pi = carry
+                strips = jnp.concatenate(
+                    [topk.table_topk_chunkmin_packed(
+                        fs_flat[2 * t] ^ (i % 2), fs_flat[2 * t + 1], k, blk)
+                     for t in range(cfg.n_tables)], axis=-1)
+                return topk.merge_strips_packed(pd, pi, strips,
+                                                n_copies=cfg.n_tables + 1)
+
+            timed_loop(f"{tag} chunkmin strips+merge k={k}", cm_body,
+                       (pd0, pi0), *[a for pair in fs for a in pair])
+
         # 4b. unified merge of ALL tables' candidates at once
         for k in (10, 100):
             pd0, pi0 = topk.empty_pool(nq, k)

@@ -293,9 +293,11 @@ def _pick_chunk_t(npad: int, block: int, q: int) -> int:
     return ch
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "block", "acc",
+                                             "interpret"))
 def scan_blockmin_t(queries: jax.Array, db: jax.Array, db_t: jax.Array,
-                    k: int, block: int = 512, interpret: bool = False):
+                    k: int, block: int = 512, acc: str = "bf16",
+                    interpret: bool = False):
     """Exact top-k block-min scan off the TRANSPOSED corpus copy.
 
     Same contract and selection proof as :func:`scan_blockmin`, but pass 1
@@ -331,7 +333,7 @@ def scan_blockmin_t(queries: jax.Array, db: jax.Array, db_t: jax.Array,
 
     def body(c, carry):
         sl = jax.lax.dynamic_slice(db_t, (0, c * ch), (8, ch))
-        bm = pallas_blockmin_t(queries, sl, block=block,
+        bm = pallas_blockmin_t(queries, sl, block=block, acc=acc,
                                interpret=interpret)         # [Q, cb]
         gidx = (jax.lax.broadcasted_iota(jnp.uint32, (1, cb), 1)
                 + (c * cb).astype(jnp.uint32))

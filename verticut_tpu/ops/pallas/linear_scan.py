@@ -172,7 +172,8 @@ def pallas_blockmin(queries: jax.Array, db_padded: jax.Array, n: int,
     return blk_min
 
 
-def _blockmin_kernel_t(q_ref, d_ref, out_ref, *, w, block, tt, qt):
+def _blockmin_kernel_t(q_ref, d_ref, out_ref, *, w, block, tt, qt,
+                       acc=jnp.bfloat16):
     """Transposed-db variant: fused unpack + MXU GEMM + per-block
     max-of-dot epilogue over a ``uint32[8, Npad]`` corpus (words on
     sublanes, codes on lanes — rows w..7 are zero).
@@ -203,10 +204,11 @@ def _blockmin_kernel_t(q_ref, d_ref, out_ref, *, w, block, tt, qt):
     j = pl.program_id(1)
     spt = tt // block                       # out lanes written per step
     s = (j % (128 // spt)) * spt            # first lane slot this step
+    out_t = out_ref.dtype
 
     @pl.when(j % (128 // spt) == 0)
     def _():
-        out_ref[:] = jnp.zeros((qt, 128), jnp.bfloat16)
+        out_ref[:] = jnp.zeros((qt, 128), out_t)
 
     shifts = jax.lax.broadcasted_iota(jnp.uint32, (32, tt), 0)
     parts = []
@@ -215,23 +217,34 @@ def _blockmin_kernel_t(q_ref, d_ref, out_ref, *, w, block, tt, qt):
         parts.append(
             (jnp.broadcast_to(row, (32, tt)) >> shifts) & jnp.uint32(1))
     b = jnp.concatenate(parts, axis=0)                     # [B, TT]
-    rhs = (2 * b.astype(jnp.int32) - 1).astype(jnp.bfloat16)
-    dot = jax.lax.dot_general(
-        q_ref[:], rhs, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                # [QT, TT]
+    if acc == jnp.int8:
+        # int8 MXU path: v5e runs s8 x s8 -> s32 at 2x the bf16 MAC rate
+        # (394.7 vs 197.4 TOPS); ±1 operands with K = 32w accumulate
+        # exactly in int32
+        rhs = (2 * b.astype(jnp.int32) - 1).astype(jnp.int8)
+        dot = jax.lax.dot_general(
+            q_ref[:], rhs, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)              # [QT, TT]
+    else:
+        rhs = (2 * b.astype(jnp.int32) - 1).astype(jnp.bfloat16)
+        dot = jax.lax.dot_general(
+            q_ref[:], rhs, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [QT, TT]
     lane = jax.lax.broadcasted_iota(jnp.int32, (qt, 128), 1)
-    acc = out_ref[:]
+    o = out_ref[:]
     for bi in range(spt):
         m = jnp.max(dot[:, bi * block:(bi + 1) * block], axis=1,
-                    keepdims=True).astype(jnp.bfloat16)    # [QT, 1]
-        acc = jnp.where(lane == s + bi, m, acc)
-    out_ref[:] = acc
+                    keepdims=True).astype(out_t)           # [QT, 1]
+        o = jnp.where(lane == s + bi, m, o)
+    out_ref[:] = o
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block", "q_tile", "t_tile", "interpret"))
+                   static_argnames=("block", "q_tile", "t_tile", "acc",
+                                    "interpret"))
 def pallas_blockmin_t(queries: jax.Array, db_t: jax.Array,
                       block: int = 512, q_tile: int = 0, t_tile: int = 2048,
+                      acc: str = "bf16",
                       interpret: bool = False) -> jax.Array:
     """``uint32[Q, W] x uint32[8, Npad] -> int32[Q, Npad/block]`` per-block
     Hamming-distance minima from a TRANSPOSED corpus (see
@@ -243,23 +256,41 @@ def pallas_blockmin_t(queries: jax.Array, db_t: jax.Array,
     zeros) — callers must mask trailing blocks and recompute the
     straddling block (ops/hamming.scan_blockmin_t does both).
     Npad must be a multiple of 128*block.
+
+    ``acc``: MXU operand dtype — ``"bf16"`` (default) or ``"int8"``
+    (s8 x s8 -> s32; both exact for ±1 operands at these widths).
+    int8 was hoped to ride the v5e's 2x s8 MAC rate but measured
+    SLOWER on chip (tools/int8_scan_bench.py, 16M codes, Q=8192:
+    565 vs 416 ms/batch at block=512, 5.5 s vs 0.8 s at block=128) —
+    the kernel is bound by the unpack + per-block max epilogue and the
+    s32 dot slab, not MXU MACs. Kept as a tested option so the result
+    stays reproducible; do not flip the default without re-measuring.
     """
     q, w = queries.shape
     npad = db_t.shape[1]
     bits = 32 * w
     if q_tile == 0:
         q_tile = 1024 if q > 512 else 256
+        if acc == "int8" and q_tile > 512:
+            # the s32 dot slab [q_tile, t_tile] overflows the 16 MB
+            # scoped-vmem stack at q_tile=1024 (measured: 44 KB over);
+            # halving the query tile halves it
+            q_tile = 512
     if npad % (128 * block) or t_tile % block or (128 * block) % t_tile:
         raise ValueError(f"bad shapes npad={npad} block={block} tt={t_tile}")
+    if acc not in ("bf16", "int8"):
+        raise ValueError(f"acc={acc!r}")
+    acc_t = jnp.int8 if acc == "int8" else jnp.bfloat16
+    out_t = jnp.int32 if acc == "int8" else jnp.bfloat16
     qp = (-q) % q_tile
     if qp:
         queries = jnp.concatenate(
             [queries, jnp.broadcast_to(queries[:1], (qp, w))])
-    q_pm = codes_lib.unpack_bits_pm1(queries).astype(jnp.bfloat16)  # [Qp, B]
+    q_pm = codes_lib.unpack_bits_pm1(queries).astype(acc_t)     # [Qp, B]
     grid = (q_pm.shape[0] // q_tile, npad // t_tile)
     mx = pl.pallas_call(
         functools.partial(_blockmin_kernel_t, w=w, block=block,
-                          tt=t_tile, qt=q_tile),
+                          tt=t_tile, qt=q_tile, acc=acc_t),
         grid=grid,
         in_specs=[
             pl.BlockSpec((q_tile, bits), lambda i, j: (i, 0),
@@ -271,7 +302,7 @@ def pallas_blockmin_t(queries: jax.Array, db_t: jax.Array,
             (q_tile, 128), lambda i, j: (i, j // (128 // (t_tile // block))),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((q_pm.shape[0], npad // block),
-                                       jnp.bfloat16),
+                                       out_t),
         cost_estimate=pl.CostEstimate(
             flops=2 * q_pm.shape[0] * npad * bits,
             bytes_accessed=(q_pm.shape[0] * bits * 2 + npad * 8 * 4
