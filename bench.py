@@ -114,22 +114,29 @@ def main():
         log(f"bench: latency run {times[-1]:.3f}s")
     lat = min(times)
 
-    # throughput: depth-2 pipeline of batches (device work of batch i
-    # overlaps the host sync of batch i-1 — the serving configuration;
-    # falls back to the sequential path if the fused driver declined)
-    n_batches = 10  # longer run: this rig's throughput wobbles ~±15%
+    # throughput: depth-4 pipeline of batches (device work + result
+    # transfer of batch i overlap the host sync of batches i-3..i-1 —
+    # the serving configuration; dispatch fires the async D2H copy, so
+    # finalize mostly finds host-resident bytes. Depth 4 over 2:
+    # +11%/+27% at k=10/100, tools/pipeline_overlap_bench.py. Falls back
+    # to the sequential path if the fused driver declined.)
+    n_batches = 12  # longer run: this rig's throughput wobbles ~±15%
+    depth = 4
     t0 = time.time()
     pending = mih_search_dispatch(index, queries, scfg)
     if pending is None:
         dt = lat
     else:
-        for _ in range(n_batches - 1):
-            nxt = mih_search_dispatch(index, queries, scfg)
-            res = mih_search_finalize(pending)
+        window = [pending]
+        for _ in range(depth - 1):
+            window.append(mih_search_dispatch(index, queries, scfg))
+        for _ in range(n_batches - depth):
+            res = mih_search_finalize(window.pop(0))
             assert res is not None
-            pending = nxt
-        res = mih_search_finalize(pending)
-        assert res is not None
+            window.append(mih_search_dispatch(index, queries, scfg))
+        while window:
+            res = mih_search_finalize(window.pop(0))
+            assert res is not None
         dt = (time.time() - t0) / n_batches
     log(f"bench: pipelined {dt:.3f}s/batch")
     qps = q_batch / dt
@@ -137,7 +144,7 @@ def main():
     # honesty cells (VERDICT r1 weak#1): harder workloads, measured with
     # the same depth-2 pipelined protocol as the headline (the serving
     # configuration; single-batch latency reported alongside)
-    def pipelined_qps(qs, sc, n_b=5):
+    def pipelined_qps(qs, sc, n_b=8, depth=4):
         mih_search(index, qs, sc)            # warm/compile
         t0 = time.time()
         res = mih_search(index, qs, sc)
@@ -146,13 +153,16 @@ def main():
         if pending is None:
             return round(q_batch / lat1, 1), lat1, res
         t0 = time.time()
-        for _ in range(n_b - 1):
-            nxt = mih_search_dispatch(index, qs, sc)
-            res = mih_search_finalize(pending)
+        window = [pending]
+        for _ in range(depth - 1):
+            window.append(mih_search_dispatch(index, qs, sc))
+        for _ in range(n_b - depth):
+            res = mih_search_finalize(window.pop(0))
             assert res is not None
-            pending = nxt
-        res = mih_search_finalize(pending)
-        assert res is not None
+            window.append(mih_search_dispatch(index, qs, sc))
+        while window:
+            res = mih_search_finalize(window.pop(0))
+            assert res is not None
         return round(q_batch * n_b / (time.time() - t0), 1), lat1, res
 
     extra_cells = {}

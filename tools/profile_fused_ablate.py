@@ -1,0 +1,133 @@
+"""Ablation profile of the FULL fused program: time fused_pipeline_packed
+with pieces disabled to attribute the pipelined batch cost that the
+per-component profile (profile_stages2.py) cannot see — compaction sorts,
+retry tiers, scan tiers, state scatter, result packing.
+
+Timing: R dispatches enqueued back-to-back, one hard sync (host transfer)
+at the end; cost = (t_R - t_1) / (R - 1) so the relay round trips cancel.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_fused_ablate.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--q", type=int, default=8192)
+    ap.add_argument("--r", type=int, default=8)
+    ap.add_argument("--k", type=int, default=0, help="single k (0 = 10,100)")
+    args = ap.parse_args()
+
+    from verticut_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from verticut_tpu import codes
+    from verticut_tpu.config import MIHConfig, SearchConfig
+    from verticut_tpu.index.build_native import build_index_native
+    from verticut_tpu.search import single as single_lib
+    from verticut_tpu.search.single import (_cap_for_radius, _device_masks,
+                                            _index_fetch_blk,
+                                            _index_mask_bits,
+                                            _radius_schedule, _stage_shift,
+                                            fused_pipeline_packed)
+
+    cfg = MIHConfig(bits=128, n_tables=4)
+    rng = np.random.default_rng(0)
+    print(f"ablate: building n={args.n}", file=sys.stderr, flush=True)
+    packed = codes.clustered_codes(0, args.n, cfg.bits,
+                                   n_clusters=args.n // 200, flip_p=0.02)
+    index = build_index_native(packed, cfg)
+    jax.block_until_ready(index.tables[-1].entry_ids)
+
+    sel = rng.integers(0, args.n, args.q)
+    qraw = codes.unpack_to_bytes(packed[sel])
+    flips = rng.integers(0, cfg.bits, (args.q, 3))
+    for i in range(args.q):
+        for b in flips[i]:
+            qraw[i, b // 8] ^= 1 << (b % 8)
+    queries = jnp.asarray(codes.pack_bytes(qraw))
+    nq = args.q
+
+    mask_bits = _index_mask_bits(index)
+    results = {}
+
+    def run_variant(name, k, *, scan=True, retry=True, n_stages=None):
+        scfg = SearchConfig(knn=k, candidate_cap=8192, max_enum_radius=5)
+        pool_size = scfg.pool_size
+        schedule = tuple(
+            (r, g) for r, g in _radius_schedule(scfg, cfg, index.n,
+                                                mask_bits, True)
+            if sum(single_lib.enumeration.n_masks(mask_bits, x)
+                   for x in g) <= scfg.fused_max_masks)
+        if n_stages is not None:
+            schedule = schedule[:n_stages]
+        caps = tuple(_cap_for_radius(scfg, cfg, index.n, g, pool_size,
+                                     mask_bits, True,
+                                     _index_fetch_blk(index))
+                     for _, g in schedule)
+        batch_caps = tuple(
+            nq if i == 0 else max(64, nq >> (_stage_shift(k) + 2 * (i - 1)))
+            for i in range(len(schedule)))
+        masks_tuple = tuple(_device_masks(mask_bits, g)
+                            for _, g in schedule)
+        retry_caps = tuple(min(c * 2, max(scfg.candidate_cap, c))
+                           for c in caps)
+        kw = dict(schedule=schedule, caps=caps, batch_caps=batch_caps,
+                  n_tables=cfg.n_tables, knn=k, pool_size=pool_size,
+                  approximate=False, use_bitmap=False, s_bits=cfg.s_bits,
+                  retry_caps=(retry_caps if retry and retry_caps != caps
+                              else None),
+                  retry_budget=min(nq, max(64, nq // 4)) if retry else 0,
+                  scan_budget=(min(nq, max(64, nq // 64)) if scan else 0))
+
+        def call():
+            return fused_pipeline_packed(
+                index.tables, index.codes, index.codes_t, queries,
+                masks_tuple, **kw)
+
+        out = call()
+        float(jnp.sum(out[:, -2].astype(jnp.float32)))  # warm + sync
+
+        def runner(reps):
+            ts = []
+            for _ in range(4):
+                t0 = time.perf_counter()
+                outs = [call() for _ in range(reps)]
+                float(jnp.sum(outs[-1][:, -2].astype(jnp.float32)))
+                for o in outs[:-1]:
+                    o.delete()
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        t1, tr = runner(1), runner(args.r)
+        ms = (tr - t1) / (args.r - 1) * 1e3
+        results[name] = round(ms, 2)
+        print(f"  {name:40s} {ms:8.2f} ms  (t1 {t1 * 1e3:.1f})",
+              file=sys.stderr, flush=True)
+
+    ks = [args.k] if args.k else [10, 100]
+    for k in ks:
+        print(f"k={k}", file=sys.stderr, flush=True)
+        run_variant(f"k{k} full", k)
+        run_variant(f"k{k} noscan", k, scan=False)
+        run_variant(f"k{k} noretry", k, retry=False)
+        run_variant(f"k{k} bare", k, scan=False, retry=False)
+        run_variant(f"k{k} bare stage1", k, scan=False, retry=False,
+                    n_stages=1)
+
+    print(json.dumps({"metric": "profile_fused_ablate", "n": args.n,
+                      "q": args.q, "ms": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -559,60 +559,56 @@ def run_pipeline(step_fn, scan_fn, queries, q_subs, state0: SearchState, *,
         # through the deep stages. TIERED like the scan stage (r4 tier
         # profile: one nq/4-budget retry cost 10.5/20.5 ms per k=10/k=100
         # batch to re-run ~340 flagged queries): a small tier catches the
-        # typical overflow count, the big tier lax.cond-skips unless the
-        # small one was outgrown.
+        # typical overflow count, the big tier runs only if the small one
+        # was outgrown. The flag count and compaction sort are hoisted so
+        # the gates are MUTUALLY EXCLUSIVE on the pre-ladder flags (a tier
+        # that ran either cleared a row's flag or left one that 2x caps
+        # cannot fix — re-running it at the same caps is pointless), and
+        # each tier's whole body — query gather, staged re-run, state
+        # blend — sits under one lax.cond: a skipped tier costs nothing.
+        # The always-paid per-tier sort+gather+blend was ~2.6 ms per k=10
+        # batch (profile_fused_ablate.py r4).
+        flag = full.overflow & full.done
+        n_f = jnp.sum(flag.astype(jnp.int32))
+        idx = jnp.arange(nq, dtype=jnp.int32)
+        _, perm = jax.lax.sort(((~flag).astype(jnp.int32), idx),
+                               num_keys=2)
         small = min(retry_budget, max(64, nq // 16))
         budgets = [small] + ([retry_budget] if retry_budget > small else [])
         for bi, budget in enumerate(budgets):
-            flag = full.overflow & full.done
-            n_f = jnp.sum(flag.astype(jnp.int32))
-            idx = jnp.arange(nq, dtype=jnp.int32)
-            _, perm = jax.lax.sort(((~flag).astype(jnp.int32), idx),
-                                   num_keys=2)
             # Flagged rows beyond the last budget keep overflow=True and
             # are re-run by the host retry path — a round trip, but rare².
             sel = perm[:budget]
-            rq = queries[sel]
-            rqs = q_subs[sel]
-            flag_sel = flag[sel]
             retry_bc = tuple(
                 budget if i == 0
                 else max(64, budget >> (_stage_shift(knn) + 2 * (i - 1)))
                 for i in range(len(schedule)))
-            # first tier: fits its budget; later tier: only if the smaller
-            # one was outgrown (a tier that RAN either cleared the flags or
-            # left rows that 2x caps cannot fix — those go to the host)
-            lo_gate = 0 if bi == 0 else budgets[bi - 1]
-            run = n_f > lo_gate
+            run = n_f > (0 if bi == 0 else budgets[bi - 1])
             if bi + 1 < len(budgets):
                 run = run & (n_f <= budget)
 
-            def _do(operand, budget=budget, retry_bc=retry_bc):
-                rq_, rqs_, flag_sel_ = operand
+            def _do(f, sel=sel, budget=budget, retry_bc=retry_bc):
+                flag_sel = flag[sel]
                 rstate = init_state(budget, pool_size)._replace(
-                    done=~flag_sel_)
-                return staged(rq_, rqs_, rstate, retry_caps, retry_bc)
+                    done=~flag_sel)
+                rfull = staged(queries[sel], q_subs[sel], rstate,
+                               retry_caps, retry_bc)
 
-            def _skip(operand, budget=budget):
-                _rq, _rqs, flag_sel_ = operand
-                return init_state(budget, pool_size)._replace(
-                    done=~flag_sel_)
+                def _blend(fl, c):
+                    m = flag_sel.reshape((-1,) + (1,) * (c.ndim - 1))
+                    return fl.at[sel].set(jnp.where(m, c, fl[sel]))
 
-            rfull = jax.lax.cond(run, _do, _skip, (rq, rqs, flag_sel))
-            ok = flag_sel & run
+                # pools/flags come from the re-run; read-amplification
+                # stats keep the first run's counts (matching the host
+                # retry path)
+                return f._replace(
+                    pool_dist=_blend(f.pool_dist, rfull.pool_dist),
+                    pool_id=_blend(f.pool_id, rfull.pool_id),
+                    done=_blend(f.done, rfull.done),
+                    radius=_blend(f.radius, rfull.radius),
+                    overflow=_blend(f.overflow, rfull.overflow))
 
-            def _blend(f, c, ok=ok, sel=sel):
-                m = ok.reshape((-1,) + (1,) * (c.ndim - 1))
-                return f.at[sel].set(jnp.where(m, c, f[sel]))
-
-            # pools/flags come from the re-run; read-amplification stats
-            # keep the first run's counts (matching the host retry path)
-            full = full._replace(
-                pool_dist=_blend(full.pool_dist, rfull.pool_dist),
-                pool_id=_blend(full.pool_id, rfull.pool_id),
-                done=_blend(full.done, rfull.done),
-                radius=_blend(full.radius, rfull.radius),
-                overflow=_blend(full.overflow, rfull.overflow))
+            full = jax.lax.cond(run, _do, lambda f: f, full)
 
     if scan_budget and scan_fn is not None:
         # Tiered scan: a small tier catches the common handful of
@@ -624,48 +620,46 @@ def run_pipeline(step_fn, scan_fn, queries, q_subs, state0: SearchState, *,
         # k=10 batch for 3 stragglers (BENCH r3), hence the tiers; the
         # x8 ladder keeps a few hundred stragglers (k=100 clustered) off
         # the full-batch scan (~1 s at k=100, q=8192 — BENCH r3).
+        # The flag count and compaction sort are hoisted (exactly the
+        # first tier whose budget covers the straggler count runs, so the
+        # gates are mutually exclusive on the pre-ladder flags) and each
+        # tier's whole body — query gather, scan, blend — sits under one
+        # lax.cond. The always-paid per-tier machinery was ~2.5 ms per
+        # k=10 batch across 3 tiers (profile_fused_ablate.py r4).
+        flag = ~full.done
+        n_sc = jnp.sum(flag.astype(jnp.int32))
+        idx = jnp.arange(nq, dtype=jnp.int32)
+        _, perm = jax.lax.sort((full.done.astype(jnp.int32), idx),
+                               num_keys=2)
         budgets = [min(scan_budget, nq)]
         while budgets[-1] < nq:
             budgets.append(min(nq, budgets[-1] * 8))
-        for budget in budgets:
-            flag = ~full.done
-            idx = jnp.arange(nq, dtype=jnp.int32)
-            _, perm = jax.lax.sort((full.done.astype(jnp.int32), idx),
-                                   num_keys=2)
+        for bi, budget in enumerate(budgets):
+            run = n_sc > (0 if bi == 0 else budgets[bi - 1])
+            if budget < nq:
+                run = run & (n_sc <= budget)
             sel = perm[:budget]
-            n_sc = jnp.sum(flag.astype(jnp.int32))
-            flag_sel = flag[sel]
-            sq = queries[sel]
-            run = (n_sc > 0) if budget == nq else \
-                ((n_sc > 0) & (n_sc <= budget))
 
-            def _scan(sq):
-                d, i = scan_fn(sq)
+            def _scan(f, sel=sel):
+                flag_sel = flag[sel]
+                d, i = scan_fn(queries[sel])
                 if pool_size > knn:
                     d = jnp.pad(d, ((0, 0), (0, pool_size - knn)),
                                 constant_values=int(topk.INF_DIST))
                     i = jnp.pad(i, ((0, 0), (0, pool_size - knn)),
                                 constant_values=-1)
-                return d, i
 
-            def _noscan(sq, budget=budget):
-                return (jnp.full((budget, pool_size), topk.INF_DIST,
-                                 jnp.int32),
-                        jnp.full((budget, pool_size), topk.INVALID_ID,
-                                 jnp.int32))
+                def _blend(fl, c):
+                    m = flag_sel.reshape((-1,) + (1,) * (c.ndim - 1))
+                    return fl.at[sel].set(jnp.where(m, c, fl[sel]))
 
-            spd, spi = jax.lax.cond(run, _scan, _noscan, sq)
-            ok = flag_sel & run
+                return f._replace(
+                    pool_dist=_blend(f.pool_dist, d),
+                    pool_id=_blend(f.pool_id, i),
+                    done=_blend(f.done, jnp.ones_like(flag_sel)),
+                    overflow=_blend(f.overflow, jnp.zeros_like(flag_sel)))
 
-            def _sblend(f, c, ok=ok, sel=sel):
-                m = ok.reshape((-1,) + (1,) * (c.ndim - 1))
-                return f.at[sel].set(jnp.where(m, c, f[sel]))
-
-            full = full._replace(
-                pool_dist=_sblend(full.pool_dist, spd),
-                pool_id=_sblend(full.pool_id, spi),
-                done=_sblend(full.done, jnp.ones_like(flag_sel)),
-                overflow=_sblend(full.overflow, jnp.zeros_like(flag_sel)))
+            full = jax.lax.cond(run, _scan, lambda f: f, full)
     return full, compact_ovf
 
 
@@ -846,6 +840,13 @@ def mih_search_dispatch(index: MIHIndex, queries,
         retry_caps=retry_caps if retry_caps != caps else None,
         retry_budget=min(nq, max(64, nq // 4)),
         scan_budget=scan_budget))
+    # Start the device->host copy of the result the moment the program
+    # finishes: finalize()'s device_get then finds the bytes already on
+    # the host. Without this the transfer serializes behind the NEXT
+    # batch's compute on the relay — measured +14 ms/batch at k=10 and
+    # +55 ms/batch at k=100 (the [8192, 107] result is 3.5 MB) in
+    # tools/pipeline_overlap_bench.py.
+    packed.copy_to_host_async()
     return FusedHandle(packed=packed, queries=queries, index=index,
                        scfg=scfg, cap=_cap)
 
