@@ -61,7 +61,10 @@ def main():
 
         # (block, w) slices off row-major, block in {128, 512}
         for blk in (128, 512):
-            def body(i, acc, idx_, db_=db, blk=blk):
+            if n_sl * blk * w * 4 > (6 << 30):
+                continue  # materialized gather output would OOM the chip
+
+            def body(i, acc, idx_, db_, blk=blk):
                 dn = jax.lax.GatherDimensionNumbers(
                     offset_dims=(2, 3), collapsed_slice_dims=(),
                     start_index_map=(0,))
@@ -72,7 +75,7 @@ def main():
                 return acc ^ g[:, :, 0, 0][:, :1]
 
             ms = timed(f"rowmaj blk{blk}", body,
-                       jnp.zeros((q, 1), jnp.uint32), idx)
+                       jnp.zeros((q, 1), jnp.uint32), idx, db)
             key = f"[{q}x{c}] rowmajor ({blk},4) slices"
             results[key] = {"ms": round(ms, 2),
                             "ns_per_slice": round(ms * 1e6 / n_sl, 1)}
@@ -81,17 +84,21 @@ def main():
                   flush=True)
 
         # (8, 128) slices off transposed
-        def body_t(i, acc, idx_):
+        if n_sl * 8 * 128 * 4 > (6 << 30):
+            continue
+
+        def body_t(i, acc, idx_, db_t_):
             dn = jax.lax.GatherDimensionNumbers(
                 offset_dims=(2, 3), collapsed_slice_dims=(),
                 start_index_map=(1,))
             g = jax.lax.gather(
-                db_t, ((idx_ ^ i) * 128)[..., None], dn,
+                db_t_, ((idx_ ^ i) * 128)[..., None], dn,
                 slice_sizes=(8, 128),
                 mode=jax.lax.GatherScatterMode.CLIP)
             return acc ^ g[:, :, 0, 0][:, :1]
 
-        ms = timed("transposed", body_t, jnp.zeros((q, 1), jnp.uint32), idx)
+        ms = timed("transposed", body_t, jnp.zeros((q, 1), jnp.uint32),
+                   idx, db_t)
         key = f"[{q}x{c}] transposed (8,128) slices"
         results[key] = {"ms": round(ms, 2),
                         "ns_per_slice": round(ms * 1e6 / n_sl, 1)}
@@ -99,11 +106,11 @@ def main():
               file=sys.stderr, flush=True)
 
         # plain row gather baseline
-        def body_r(i, acc, idx_):
-            g = db[(idx_ ^ i).reshape(-1)]
+        def body_r(i, acc, idx_, db_):
+            g = db_[(idx_ ^ i).reshape(-1)]
             return acc ^ g[: acc.shape[0], :1]
 
-        ms = timed("rows", body_r, jnp.zeros((q, 1), jnp.uint32), idx)
+        ms = timed("rows", body_r, jnp.zeros((q, 1), jnp.uint32), idx, db)
         key = f"[{q}x{c}] row gather"
         results[key] = {"ms": round(ms, 2),
                         "ns_per_row": round(ms * 1e6 / n_sl, 1)}
