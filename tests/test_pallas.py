@@ -160,3 +160,29 @@ def test_pallas_scan_matches_oracle():
     ed, ei = ref.brute_force(raw_q, raw_db, 7)
     assert np.array_equal(np.asarray(d1), ed)
     assert np.array_equal(np.asarray(i1), ei)
+
+
+def test_pallas_blockmin_t2_matches_reference():
+    """Interpret-mode check of the resident-queries transposed kernel
+    (pallas_blockmin_t2): same caller contract as pallas_blockmin_t,
+    both MXU operand paths, including a query count that needs sub_q
+    padding."""
+    from verticut_tpu.codes import transpose_scan_layout
+    from verticut_tpu.ops.pallas import pallas_blockmin_t2
+    rng = np.random.default_rng(11)
+    block, n = 512, 63321                        # npad=65536, rem=341
+    raw_db = rng.integers(0, 256, size=(n, 16), dtype=np.uint8)
+    raw_q = rng.integers(0, 256, size=(70, 16), dtype=np.uint8)
+    q = jnp.asarray(codes.pack_bytes(raw_q))
+    db = jnp.asarray(codes.pack_bytes(raw_db))
+    db_t = transpose_scan_layout(db)
+    npad = db_t.shape[1]
+    raw_pad = np.zeros((npad, 16), np.uint8)
+    raw_pad[:n] = raw_db
+    expect = _blockmin_ref(raw_q, raw_pad, npad, npad, block)
+    for acc in ("bf16", "int8"):
+        for sub_q in (32, 64):                   # 70 pads to 96 / 128
+            got = np.asarray(pallas_blockmin_t2(
+                q, db_t, block=block, sub_q=sub_q, acc=acc,
+                interpret=True))
+            assert np.array_equal(got, expect), (acc, sub_q)

@@ -329,12 +329,23 @@ def scan_blockmin_t(queries: jax.Array, db: jax.Array, db_t: jax.Array,
     cb = ch // block
     mask_i = jnp.uint32((1 << idx_bits) - 1)
 
-    from verticut_tpu.ops.pallas import pallas_blockmin_t
+    from verticut_tpu.ops.pallas import pallas_blockmin_t, pallas_blockmin_t2
+
+    # Resident-queries kernel for big batches: the rhs bit-unpack runs
+    # once per db tile instead of once per (q_tile, db tile) pair —
+    # measured 233 -> 214 ms at 16M/Q=8192 (tools/t2 sweep, r4); the
+    # per-q-tile kernel stays for small batches (oracle scans, straggler
+    # tiers), where the resident whole-Q operand buys nothing.
+    use_t2 = q > 2048
 
     def body(c, carry):
         sl = jax.lax.dynamic_slice(db_t, (0, c * ch), (8, ch))
-        bm = pallas_blockmin_t(queries, sl, block=block, acc=acc,
-                               interpret=interpret)         # [Q, cb]
+        if use_t2:
+            bm = pallas_blockmin_t2(queries, sl, block=block, acc=acc,
+                                    interpret=interpret)    # [Q, cb]
+        else:
+            bm = pallas_blockmin_t(queries, sl, block=block, acc=acc,
+                                   interpret=interpret)     # [Q, cb]
         gidx = (jax.lax.broadcasted_iota(jnp.uint32, (1, cb), 1)
                 + (c * cb).astype(jnp.uint32))
         keys = ~((jnp.clip(bm, 0, bits + 1).astype(jnp.uint32)

@@ -239,6 +239,107 @@ def _blockmin_kernel_t(q_ref, d_ref, out_ref, *, w, block, tt, qt,
     out_ref[:] = o
 
 
+def _blockmin_kernel_t2(q_ref, d_ref, out_ref, *, w, block, tt, sub_q,
+                        acc=jnp.bfloat16):
+    """Resident-queries variant of `_blockmin_kernel_t`: the grid runs over
+    db tiles ONLY and every step scores ALL queries against its tile, so
+    the rhs bit-unpack (the [B, TT] broadcast/shift/and construction —
+    ~40% of a step's VPU work at Q-tile 1024) runs ONCE per db tile
+    instead of once per (q_tile, db tile) pair. The whole query operand
+    ([Qp, B] bf16/int8, <=2 MB at Q=8192) and the [Qp, 128] output tile
+    stay VMEM-resident across the step's unrolled q sub-loop; each
+    sub-iteration's dot slab is a [sub_q, TT] temporary (f32 accumulator —
+    Mosaic rejects a bf16 preferred_element_type for bf16 operands)."""
+    j = pl.program_id(0)
+    spt = tt // block                       # out lanes written per step
+    s = (j % (128 // spt)) * spt            # first lane slot this step
+    out_t = out_ref.dtype
+    qp = q_ref.shape[0]
+
+    @pl.when(j % (128 // spt) == 0)
+    def _():
+        out_ref[:] = jnp.zeros((qp, 128), out_t)
+
+    shifts = jax.lax.broadcasted_iota(jnp.uint32, (32, tt), 0)
+    parts = []
+    for i in range(w):
+        row = d_ref[i:i + 1, :]                            # [1, TT]
+        parts.append(
+            (jnp.broadcast_to(row, (32, tt)) >> shifts) & jnp.uint32(1))
+    b = jnp.concatenate(parts, axis=0)                     # [B, TT]
+    if acc == jnp.int8:
+        rhs = (2 * b.astype(jnp.int32) - 1).astype(jnp.int8)
+        pref = jnp.int32
+    else:
+        # f32 accumulator required by Mosaic for bf16 operands (a bf16
+        # preferred_element_type fails 'tpu.matmul' verification)
+        rhs = (2 * b.astype(jnp.int32) - 1).astype(jnp.bfloat16)
+        pref = jnp.float32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sub_q, 128), 1)
+    for qi in range(qp // sub_q):
+        dot = jax.lax.dot_general(
+            q_ref[qi * sub_q:(qi + 1) * sub_q, :], rhs,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=pref)                   # [sub_q, TT]
+        o = out_ref[qi * sub_q:(qi + 1) * sub_q, :]
+        for bi in range(spt):
+            m = jnp.max(dot[:, bi * block:(bi + 1) * block], axis=1,
+                        keepdims=True).astype(out_t)       # [sub_q, 1]
+            o = jnp.where(lane == s + bi, m, o)
+        out_ref[qi * sub_q:(qi + 1) * sub_q, :] = o
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block", "sub_q", "t_tile", "acc",
+                                    "interpret"))
+def pallas_blockmin_t2(queries: jax.Array, db_t: jax.Array,
+                       block: int = 512, sub_q: int = 1024,
+                       t_tile: int = 2048, acc: str = "bf16",
+                       interpret: bool = False) -> jax.Array:
+    """Resident-queries transposed block-min pass (see
+    `_blockmin_kernel_t2`). Same contract as :func:`pallas_blockmin_t`."""
+    q, w = queries.shape
+    npad = db_t.shape[1]
+    bits = 32 * w
+    if npad % (128 * block) or t_tile % block or (128 * block) % t_tile:
+        raise ValueError(f"bad shapes npad={npad} block={block} tt={t_tile}")
+    if acc not in ("bf16", "int8"):
+        raise ValueError(f"acc={acc!r}")
+    acc_t = jnp.int8 if acc == "int8" else jnp.bfloat16
+    out_t = jnp.int32 if acc == "int8" else jnp.bfloat16
+    if acc == "int8" and sub_q > 512:
+        sub_q = 512                      # s32 dot slab VMEM (see _t)
+    qp = (-q) % sub_q
+    if qp:
+        queries = jnp.concatenate(
+            [queries, jnp.broadcast_to(queries[:1], (qp, w))])
+    q_pm = codes_lib.unpack_bits_pm1(queries).astype(acc_t)     # [Qp, B]
+    qpad = q_pm.shape[0]
+    grid = (npad // t_tile,)
+    spt = t_tile // block
+    mx = pl.pallas_call(
+        functools.partial(_blockmin_kernel_t2, w=w, block=block,
+                          tt=t_tile, sub_q=min(sub_q, qpad), acc=acc_t),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qpad, bits), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, t_tile), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((qpad, 128), lambda j: (0, j // (128 // spt)),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qpad, npad // block), out_t),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qpad * npad * bits,
+            bytes_accessed=(qpad * bits * 2 + npad * 8 * 4
+                            + qpad * (npad // block) * 2),
+            transcendentals=0),
+        interpret=interpret,
+    )(q_pm, db_t)
+    return ((bits - mx[:q].astype(jnp.float32)) * 0.5).astype(jnp.int32)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("block", "q_tile", "t_tile", "acc",
                                     "interpret"))
