@@ -112,8 +112,16 @@ def main():
         qids = list(range(args.num))
 
     if args.selfbuild:
-        # one artifact: warmup (compile), then sequential + threaded rows
-        run_load(cli, qids[:8], args.knn, 0)          # compile warm-up
+        # one artifact: warmup (compile), then sequential + threaded rows.
+        # The warmup must cover the THREADED arrival shapes too — the
+        # micro-batching leader pads each device batch to the concurrent
+        # arrival count's shape bucket, and a cold compile of a new batch
+        # shape (~20-60 s through the remote compiler) otherwise lands in
+        # the first threaded row's p99 (observed: 21.5 s p99 at
+        # threads16 on an otherwise-warm server).
+        run_load(cli, qids[:8], args.knn, 0)          # sequential shapes
+        for th in (16, 64):
+            run_load(cli, qids[:2 * th], args.knn, th)
         rows = {}
         for name, th in (("sequential", 0), ("threads16", 16),
                          ("threads64", 64)):
