@@ -44,18 +44,39 @@ def main():
     cfg = MIHConfig(bits=128, n_tables=4)
     rng = np.random.default_rng(0)
     print(f"ablate: building n={args.n}", file=sys.stderr, flush=True)
-    packed = codes.clustered_codes(0, args.n, cfg.bits,
-                                   n_clusters=args.n // 200, flip_p=0.02)
-    index = build_index_native(packed, cfg)
-    jax.block_until_ready(index.tables[-1].entry_ids)
+    if args.n >= 20_000_000:
+        # scale path, same as bench.py: generate AND build on device (the
+        # relay uploads at ~5 MB/s — nothing big may leave the host)
+        from verticut_tpu.index import build_index
+        packed_dev = codes.clustered_codes_device(
+            0, args.n, cfg.bits, n_clusters=args.n // 200, flip_p=0.02)
+        inline = args.n * 21 * cfg.n_tables <= 10 * (1 << 30)
+        index = build_index(packed_dev, cfg, store_codes=inline,
+                            directory="range",
+                            keep_entry_ids=args.n < 20_000_000)
+        float(jnp.sum(index.tables[-1].directory.se[-1]))
+        sel = jnp.asarray(rng.integers(0, args.n, args.q))
+        pos = jnp.asarray(rng.integers(0, cfg.bits, (args.q, 3)))
+        rows = packed_dev[sel]
+        word = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cfg.n_words), 2)
+        terms = jnp.where(
+            pos[:, :, None] // 32 == word,
+            jnp.uint32(1) << (pos[:, :, None] % 32).astype(jnp.uint32),
+            jnp.uint32(0))
+        queries = rows ^ terms[:, 0] ^ terms[:, 1] ^ terms[:, 2]
+    else:
+        packed = codes.clustered_codes(0, args.n, cfg.bits,
+                                       n_clusters=args.n // 200, flip_p=0.02)
+        index = build_index_native(packed, cfg)
+        jax.block_until_ready(index.tables[-1].entry_ids)
 
-    sel = rng.integers(0, args.n, args.q)
-    qraw = codes.unpack_to_bytes(packed[sel])
-    flips = rng.integers(0, cfg.bits, (args.q, 3))
-    for i in range(args.q):
-        for b in flips[i]:
-            qraw[i, b // 8] ^= 1 << (b % 8)
-    queries = jnp.asarray(codes.pack_bytes(qraw))
+        sel = rng.integers(0, args.n, args.q)
+        qraw = codes.unpack_to_bytes(packed[sel])
+        flips = rng.integers(0, cfg.bits, (args.q, 3))
+        for i in range(args.q):
+            for b in flips[i]:
+                qraw[i, b // 8] ^= 1 << (b % 8)
+        queries = jnp.asarray(codes.pack_bytes(qraw))
     nq = args.q
 
     mask_bits = _index_mask_bits(index)
