@@ -20,6 +20,7 @@ Methods:
 
 from __future__ import annotations
 
+import queue
 import socket
 import socketserver
 import threading
@@ -87,19 +88,28 @@ class ImageSearchServer:
         self._srv.owner = self
         self.port = self._srv.server_address[1]
         self._thread: Optional[threading.Thread] = None
-        self._lock = threading.Lock()  # device work serialized
         self.n_requests = 0
         self.n_batches = 0
         # incremented on every (re)start — the Pilaf per-server epoch analog
         # (store-client.cc:146-147): clients detect a bounced server
         self.epoch = 0
         self._conns: set = set()
-        # micro-batching state: (knn, approx) -> [(slot, event), ...]
-        self._pending: dict = {}
-        self._q_lock = threading.Lock()
-        # waiters block on this condition; notified at every batch
-        # completion and leadership release (no polling latency)
-        self._cv = threading.Condition()
+        # micro-batching: ONE worker thread owns the device and drains a
+        # FIFO of (key, slot, event) work items. The previous design —
+        # leader election among request threads with a condition-variable
+        # handoff — collapsed at 64 concurrent clients (SERVING_r04: p99
+        # 2.06 s vs 118 ms at 16): unbounded drains grew device batches
+        # while late waiters burned 1 s condition timeouts on missed
+        # wakeups. A dedicated worker bounds every request's wait to at
+        # most (in-flight batch + own batch) and caps the batch rows.
+        self._work: "queue.Queue" = queue.Queue()
+        self._worker: Optional[threading.Thread] = None
+        self._running = False
+        #: admission control: max query rows per device batch. Requests
+        #: beyond the cap stay queued for the next batch (FIFO), keeping
+        #: per-batch latency flat under bursty concurrency — the shape
+        #: the reference's load test exercises (image_search_test.cc:145-170).
+        self.max_batch_rows = 2048
 
     # -- dispatch (the image_search_server.cc:22-48 analog) ------------------
 
@@ -136,76 +146,112 @@ class ImageSearchServer:
         coalesce into one device launch. The reference fans every query out
         as its own mpirun job (``image_search_server.cc:58-83``); a batched
         engine inverts that — request-level parallelism becomes batch rows.
+        Request threads only enqueue and block on their event; all device
+        work happens on the worker thread.
         """
+        if not self._running:
+            self._start_worker()
         evt = threading.Event()
         slot = [queries, None]          # [input rows, output rows]
         key = (int(knn), bool(approx))
-        with self._q_lock:
-            self._pending.setdefault(key, []).append((slot, evt))
-        self._run_or_wait(key, evt)
+        self._work.put((key, slot, evt))
+        evt.wait()
         if isinstance(slot[1], BaseException):
             raise RuntimeError(
-                f"batch leader failed: {slot[1]}") from slot[1]
+                f"batch worker failed: {slot[1]}") from slot[1]
         return slot[1]
 
-    def _run_or_wait(self, key, evt):
-        # One thread at a time is the batch leader (device work serialized);
-        # everyone else waits on the condition until their event is set.
-        # The leader keeps up to TWO device batches in flight (dispatch the
-        # next before finalizing the previous) so device work overlaps the
-        # host sync — the serving analog of the bench's pipelined
-        # throughput mode.
-        while not evt.is_set():
-            if self._lock.acquire(blocking=False):
-                inflight = None
-                batch = []
+    # -- worker thread: batch assembly + depth-2 device pipeline -----------
+
+    def _start_worker(self):
+        with self._work.mutex:  # idempotent start (any thread may race)
+            if self._running:
+                return
+            self._running = True
+        self._worker = threading.Thread(target=self._worker_loop,
+                                        daemon=True, name="search-worker")
+        self._worker.start()
+
+    def _take_batch(self, first):
+        """FIFO drain of same-key items up to the row cap; items of other
+        keys (or beyond the cap) are requeued in arrival order."""
+        key = first[0]
+        batch = [first[1:]]
+        rows = first[1][0].shape[0]
+        requeue = []
+        while rows < self.max_batch_rows:
+            try:
+                item = self._work.get_nowait()
+            except queue.Empty:
+                break
+            if item is None:
+                requeue.append(item)  # keep the stop sentinel observable
+                break
+            if item[0] != key:
+                requeue.append(item)
+                continue
+            batch.append(item[1:])
+            rows += item[1][0].shape[0]
+        for item in requeue:
+            self._work.put(item)
+        return key, batch
+
+    def _worker_loop(self):
+        # Up to TWO device batches in flight: dispatch the next before
+        # finalizing the previous so device work overlaps the host sync —
+        # the serving analog of the bench's pipelined throughput mode.
+        inflight = None  # (key, batch, handle, queries_or_none, sizes)
+        while True:
+            try:
+                timeout = 0.0005 if inflight is not None else None
                 try:
-                    while True:
-                        if evt.is_set():
-                            # our request is answered: drain the handle we
-                            # own and hand leadership back (waiters of the
-                            # remaining batches become leaders themselves)
-                            if inflight is not None:
-                                self._finalize(key, *inflight)
-                                inflight = None
-                            break
-                        with self._q_lock:
-                            batch = self._pending.pop(key, [])
-                        if not batch:
-                            if inflight is None:
-                                break  # served by another leader, or done
-                            self._finalize(key, *inflight)
-                            inflight = None
-                            continue
-                        dispatched = self._dispatch_device(key, batch)
-                        if inflight is not None:
-                            self._finalize(key, *inflight)
-                        if dispatched is None:  # sync engine (sharded)
+                    item = self._work.get(timeout=timeout)
+                except queue.Empty:
+                    item = False  # nothing queued: drain the in-flight batch
+                if item is None:  # stop sentinel
+                    if inflight is not None:
+                        self._safe_finalize(inflight)
+                    return
+                if item is False:
+                    self._safe_finalize(inflight)
+                    inflight = None
+                    continue
+                key, batch = self._take_batch(item)
+                prev, inflight = inflight, None
+                try:
+                    dispatched = self._dispatch_device(key, batch)
+                except BaseException as e:  # noqa: BLE001 — to the waiters
+                    self._deliver_error(batch, e)
+                    dispatched = None
+                    batch = []
+                if prev is not None:
+                    self._safe_finalize(prev)
+                if dispatched is None:
+                    if batch:  # sync engine (sharded)
+                        try:
                             self._execute_sync(key, batch)
-                        else:
-                            inflight = (batch,) + dispatched
-                            batch = []
-                except BaseException as e:
-                    # a failing leader must never strand its waiters in the
-                    # wait loop: deliver the error to every request whose
-                    # event is still pending, then re-raise on the wire
-                    for blist in ((inflight[0] if inflight else []), batch):
-                        for slot, ev in blist:
-                            if not ev.is_set():
-                                slot[1] = e
-                                ev.set()
-                    raise
-                finally:
-                    self._lock.release()
-                    with self._cv:
-                        self._cv.notify_all()
-            else:
-                with self._cv:
-                    # re-check under the condition: a completion/release
-                    # between our failed acquire and this wait would
-                    # otherwise be missed
-                    if not evt.is_set() and self._lock.locked():
-                        self._cv.wait(timeout=1.0)
+                        except BaseException as e:  # noqa: BLE001
+                            self._deliver_error(batch, e)
+                else:
+                    inflight = (key, batch) + dispatched
+            except BaseException:  # noqa: BLE001 — worker must survive
+                log.exception("search worker iteration failed")
+
+    def _safe_finalize(self, inflight):
+        if inflight is None:
+            return
+        key, batch = inflight[0], inflight[1]
+        try:
+            self._finalize(key, *inflight[1:])
+        except BaseException as e:  # noqa: BLE001 — to the waiters
+            self._deliver_error(batch, e)
+
+    @staticmethod
+    def _deliver_error(batch, e):
+        for slot, ev in batch:
+            if not ev.is_set():
+                slot[1] = e
+                ev.set()
 
     def _pad_batch(self, batch):
         qs = [slot[0] for slot, _ in batch]
@@ -264,8 +310,6 @@ class ImageSearchServer:
             slot[1] = rows
             evt.set()
             lo += sz
-        with self._cv:
-            self._cv.notify_all()
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -280,6 +324,11 @@ class ImageSearchServer:
     def stop(self):
         self._srv.shutdown()
         self._srv.server_close()
+        if self._running:
+            self._running = False
+            self._work.put(None)  # stop sentinel: worker drains in-flight
+            if self._worker is not None:
+                self._worker.join(timeout=10)
         # proactively disconnect live clients so they reconnect and observe
         # the new epoch (the reference's resize-protocol behavior,
         # store-server.cc:97-146: disconnect all, clients retry)
