@@ -11,6 +11,8 @@ All functions are jit-safe and shape-polymorphic over leading batch dims.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -244,6 +246,30 @@ def transpose_scan_layout(db: jax.Array) -> jax.Array:
         npad = -(-npad // SCAN_CHUNK) * SCAN_CHUNK
     out = jnp.zeros((8, npad), jnp.uint32)
     return jax.lax.dynamic_update_slice(out, db.T, (0, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("n_words",))
+def rescore_rows_layout(db_t: jax.Array, n_words: int) -> jax.Array:
+    """``uint32[8, Npad] -> uint32[Npad/128, W*128]`` blocked rescore rows.
+
+    Row ``b`` holds the 128 codes ``[b*128, (b+1)*128)`` word-major: lane
+    ``j*128 + r`` = word ``j`` of code ``b*128 + r`` (pad codes 0).
+    Why this exists (measured, tools/microbench_r5.py at Q=8192): XLA
+    row gathers from a [nb, 512]-wide array run at ~20 ns/row while ANY
+    multi-row slice gather — ``(block, w)`` off the row-major corpus,
+    ``(8, block)`` off the transposed copy, ``(m, width)`` off this very
+    array — costs ~1.4 us per slice, ~70x more per byte at the scan's
+    shapes. So the block-min scan's rescore fetches whole 128-code rows
+    by plain indexing and nothing else. Costs 16 B/code of HBM at W=4.
+
+    Built from the transposed scan copy: per-word 1-D -> 2-D reshapes and
+    a lane concat (2-D reshapes of [N, small] relayout catastrophically;
+    CLAUDE.md layout traps).
+    """
+    npad = db_t.shape[1]
+    nb = npad // 128
+    return jnp.concatenate(
+        [db_t[j].reshape(nb, 128) for j in range(n_words)], axis=-1)
 
 
 def hamming_via_matmul(q_pm1: jax.Array, db_pm1: jax.Array) -> jax.Array:

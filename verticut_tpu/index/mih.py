@@ -171,6 +171,13 @@ class MIHIndex:
     #: feeding the no-relayout Pallas blockmin kernel; built on TPU only
     #: (derived — never persisted), None elsewhere
     codes_t: Optional[jax.Array] = None
+    #: blocked rescore rows uint32[Npad/128, W*128]
+    #: (codes.rescore_rows_layout): the scan's block rescore runs at
+    #: ~20 ns per gathered 128-code row off this layout vs ~1.4 us per
+    #: (block, W) slice off ``codes`` (tools/microbench_r5.py). 16 B/code
+    #: extra HBM at W=4; built with codes_t up to ROWS_MAX_N, derived —
+    #: never persisted.
+    codes_rows: Optional[jax.Array] = None
 
     def table_subs(self, queries: jax.Array) -> jax.Array:
         """Substring values of a query batch for every table: [Q, m]."""
@@ -335,10 +342,12 @@ def build_index(codes_arr, cfg: MIHConfig = MIHConfig(),
                      with_bitmap, directory, keep_entry_ids)
         for t in range(cfg.n_tables)
     ]
+    codes_t = _maybe_scan_copy(codes_arr, keep_codes, scan_copy)
     return MIHIndex(cfg=cfg, tables=tables, n=codes_arr.shape[0],
                     codes=codes_arr if keep_codes else None,
-                    codes_t=_maybe_scan_copy(codes_arr, keep_codes,
-                                             scan_copy))
+                    codes_t=codes_t,
+                    codes_rows=_maybe_rescore_rows(codes_t, cfg.n_words,
+                                                   codes_arr.shape[0]))
 
 
 def _maybe_scan_copy(codes_arr: jax.Array, keep_codes: bool,
@@ -350,6 +359,21 @@ def _maybe_scan_copy(codes_arr: jax.Array, keep_codes: bool,
     if not (scan_copy and keep_codes):
         return None
     return codes_lib.transpose_scan_layout(codes_arr)
+
+
+#: largest corpus that also keeps the blocked rescore rows (16 B/code at
+#: W=4 on top of codes 16 + codes_t 32): at 100M the inline index + scan
+#: copies already sit ~13 GB of the 15.75 GB HBM and the scan's fold
+#: temps need the rest, so the 100M cells keep the slice-gather rescore
+#: (rescore there is ~13% of the 1.06 s GEMM floor anyway).
+ROWS_MAX_N = 48_000_000
+
+
+def _maybe_rescore_rows(codes_t: Optional[jax.Array], n_words: int,
+                        n: int) -> Optional[jax.Array]:
+    if codes_t is None or n > ROWS_MAX_N:
+        return None
+    return codes_lib.rescore_rows_layout(codes_t, n_words)
 
 
 # --------------------------------------------------------------------------
@@ -419,6 +443,9 @@ def load_index(path: str) -> MIHIndex:
         tables.append(MIHTable(entry_ids=ei, entry_codes=ec, directory=d,
                                bitmap=bmp, entry_rows=er, entry_idrows=eir))
     codes_arr = jnp.asarray(z["codes"]) if "codes" in z else None
+    codes_t = (_maybe_scan_copy(codes_arr, True, None)
+               if codes_arr is not None else None)
     return MIHIndex(cfg=cfg, tables=tables, n=int(z["n"]), codes=codes_arr,
-                    codes_t=(_maybe_scan_copy(codes_arr, True, None)
-                             if codes_arr is not None else None))
+                    codes_t=codes_t,
+                    codes_rows=_maybe_rescore_rows(codes_t, cfg.n_words,
+                                                   int(z["n"])))

@@ -216,23 +216,44 @@ def scan_blockmin(queries: jax.Array, db: jax.Array, k: int,
     return _rescore_blocks(queries, db_p, n, bidx, k, block)
 
 
-def _rescore_blocks(queries, db_p, n, bidx, k: int, block: int):
+def _rescore_blocks(queries, db_p, n, bidx, k: int, block: int,
+                    db_rows=None):
     """Gather the selected blocks, rescore exactly with popcount, select
     the (dist, id)-lexicographic top-k over the narrow strip. Shared by
     :func:`scan_blockmin` and :func:`scan_blockmin_t`. ``db_p`` must have
-    >= (max(bidx)+1)*block rows."""
+    >= (max(bidx)+1)*block rows.
+
+    ``db_rows`` (``uint32[Npad/128, W*128]``, codes.rescore_rows_layout):
+    when given, blocks are fetched as plain 128-code ROW gathers — ~20
+    ns/row vs ~1.4 us per multi-row slice (70x at the k=100 tier shapes,
+    tools/microbench_r5.py) — the r5 fix for the gather-issue-bound
+    rescore (VERDICT r4 #4 / PROFILE_SCAN_r04)."""
     q, w = queries.shape
     kb = bidx.shape[1]
     bidx = jnp.sort(bidx, axis=-1)                        # ascending pos
-    # slice-gather straight off the [N, w] corpus — reshaping it to
-    # [nb, block*w] first forces a lane-padded tiled copy (32x at w=4)
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(2, 3), collapsed_slice_dims=(), start_index_map=(0,))
-    g = jax.lax.gather(db_p, (bidx * block)[..., None], dn,
-                       slice_sizes=(block, w),
-                       mode=jax.lax.GatherScatterMode.CLIP)  # [Q,kb,b,W]
-    d = jnp.sum(jax.lax.population_count(
-        g ^ queries[:, None, None, :]).astype(jnp.int32), axis=-1)
+    if db_rows is not None and block % 128 == 0:
+        m = block // 128
+        nb128 = db_rows.shape[0]
+        ridx = bidx[:, :, None] * m + jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, m), 2)                      # [Q, kb, m]
+        g = db_rows[jnp.clip(ridx.reshape(q, kb * m), 0, nb128 - 1)]
+        d = jnp.zeros((q, kb * m, 128), jnp.int32)
+        for j in range(w):
+            d = d + jax.lax.population_count(
+                g[..., j * 128:(j + 1) * 128]
+                ^ queries[:, j, None, None]).astype(jnp.int32)
+        d = d.reshape(q, kb, block)
+    else:
+        # slice-gather straight off the [N, w] corpus — reshaping it to
+        # [nb, block*w] first forces a lane-padded tiled copy (32x at w=4)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(2, 3), collapsed_slice_dims=(),
+            start_index_map=(0,))
+        g = jax.lax.gather(db_p, (bidx * block)[..., None], dn,
+                           slice_sizes=(block, w),
+                           mode=jax.lax.GatherScatterMode.CLIP)  # [Q,kb,b,W]
+        d = jnp.sum(jax.lax.population_count(
+            g ^ queries[:, None, None, :]).astype(jnp.int32), axis=-1)
     pos = bidx[:, :, None] * block + jax.lax.broadcasted_iota(
         jnp.int32, (1, 1, block), 2)
     valid = pos < n
@@ -297,7 +318,7 @@ def _pick_chunk_t(npad: int, block: int, q: int) -> int:
                                              "interpret"))
 def scan_blockmin_t(queries: jax.Array, db: jax.Array, db_t: jax.Array,
                     k: int, block: int = 512, acc: str = "bf16",
-                    interpret: bool = False):
+                    interpret: bool = False, db_rows=None):
     """Exact top-k block-min scan off the TRANSPOSED corpus copy.
 
     Same contract and selection proof as :func:`scan_blockmin`, but pass 1
@@ -335,8 +356,12 @@ def scan_blockmin_t(queries: jax.Array, db: jax.Array, db_t: jax.Array,
     # once per db tile instead of once per (q_tile, db tile) pair —
     # measured 233 -> 214 ms at 16M/Q=8192 (tools/t2 sweep, r4); the
     # per-q-tile kernel stays for small batches (oracle scans, straggler
-    # tiers), where the resident whole-Q operand buys nothing.
-    use_t2 = q > 2048
+    # tiers), where the resident whole-Q operand buys nothing. Upper
+    # bound too (ADVICE r4): t2's VMEM residency grows with Q (bf16
+    # query operand + [qpad, 128] output tile on top of the fixed 8 MB
+    # f32 dot slab) and overflows the ~16 MB scoped budget near Q=16k —
+    # the Q-independent per-q-tile kernel takes over there.
+    use_t2 = 2048 < q <= 8192
 
     def body(c, carry):
         sl = jax.lax.dynamic_slice(db_t, (0, c * ch), (8, ch))
@@ -374,7 +399,8 @@ def scan_blockmin_t(queries: jax.Array, db: jax.Array, db_t: jax.Array,
     # zero init sentinels cannot survive the fold
     bidx = ((~top) & mask_i).astype(jnp.int32)
     db_p, _ = _pad_db(db, block)
-    return _rescore_blocks(queries, db_p, n, bidx, k, block)
+    return _rescore_blocks(queries, db_p, n, bidx, k, block,
+                           db_rows=db_rows)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))

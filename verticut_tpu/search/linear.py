@@ -15,7 +15,7 @@ from verticut_tpu.ops import hamming
 
 
 def linear_search(queries, db, k: int, method: str = "auto",
-                  chunk: int = 65536, db_t=None):
+                  chunk: int = 65536, db_t=None, db_rows=None):
     """Exact top-k: returns ``(dists int32[Q, k], ids int32[Q, k])``
     ascending by (dist, id).
 
@@ -50,7 +50,8 @@ def linear_search(queries, db, k: int, method: str = "auto",
                             + max(1, (nb_pad - 1).bit_length())) <= 32
                 if packable:
                     return hamming.scan_blockmin_t(sq, db, db_t, k,
-                                                   block=block)
+                                                   block=block,
+                                                   db_rows=db_rows)
             return hamming.scan_blockmin(sq, db, k,
                                          chunk=max(chunk, 512 * 8),
                                          block=block)
