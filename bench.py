@@ -142,9 +142,10 @@ def main():
     qps = q_batch / dt
 
     # honesty cells (VERDICT r1 weak#1): harder workloads, measured with
-    # the same depth-2 pipelined protocol as the headline (the serving
+    # the same depth-4 pipelined protocol as the headline (the serving
     # configuration; single-batch latency reported alongside)
     def pipelined_qps(qs, sc, n_b=8, depth=4):
+        assert n_b >= depth, "QPS window must cover at least `depth` batches"
         mih_search(index, qs, sc)            # warm/compile
         t0 = time.time()
         res = mih_search(index, qs, sc)

@@ -81,8 +81,11 @@ def main():
 
     mask_bits = _index_mask_bits(index)
     results = {}
+    uniform_q = jnp.asarray(codes.random_codes(99, args.q, cfg.bits))
 
-    def run_variant(name, k, *, scan=True, retry=True, n_stages=None):
+    def run_variant(name, k, *, scan=True, retry=True, n_stages=None,
+                    qs=None, dominance=True, ovf_scan=False):
+        qs = queries if qs is None else qs
         scfg = SearchConfig(knn=k, candidate_cap=8192, max_enum_radius=5)
         pool_size = scfg.pool_size
         schedule = tuple(
@@ -103,18 +106,26 @@ def main():
                             for _, g in schedule)
         retry_caps = tuple(min(c * 2, max(scfg.candidate_cap, c))
                            for c in caps)
+        scan_budget = min(nq, max(64, nq // 64)) if scan else 0
+        o2s = ovf_scan and scan_budget > 0 \
+            and index.n <= single_lib.OVERFLOW_SCAN_MAX_N
         kw = dict(schedule=schedule, caps=caps, batch_caps=batch_caps,
                   n_tables=cfg.n_tables, knn=k, pool_size=pool_size,
                   approximate=False, use_bitmap=False, s_bits=cfg.s_bits,
-                  retry_caps=(retry_caps if retry and retry_caps != caps
+                  retry_caps=(retry_caps
+                              if retry and not o2s and retry_caps != caps
                               else None),
-                  retry_budget=min(nq, max(64, nq // 4)) if retry else 0,
-                  scan_budget=(min(nq, max(64, nq // 64)) if scan else 0))
+                  retry_budget=(min(nq, max(64, nq // 4))
+                                if retry and not o2s else 0),
+                  scan_budget=scan_budget,
+                  scan_dominance=(nq // 2 if scan_budget and dominance
+                                  else 0),
+                  overflow_to_scan=o2s)
 
         def call():
             return fused_pipeline_packed(
-                index.tables, index.codes, index.codes_t, queries,
-                masks_tuple, **kw)
+                index.tables, index.codes, index.codes_t, index.codes_rows,
+                qs, masks_tuple, **kw)
 
         out = call()
         float(jnp.sum(out[:, -2].astype(jnp.float32)))  # warm + sync
@@ -140,11 +151,14 @@ def main():
     for k in ks:
         print(f"k={k}", file=sys.stderr, flush=True)
         run_variant(f"k{k} full", k)
+        run_variant(f"k{k} merged-ladder", k, ovf_scan=True)
         run_variant(f"k{k} noscan", k, scan=False)
-        run_variant(f"k{k} noretry", k, retry=False)
         run_variant(f"k{k} bare", k, scan=False, retry=False)
         run_variant(f"k{k} bare stage1", k, scan=False, retry=False,
                     n_stages=1)
+        run_variant(f"k{k} uniform full", k, qs=uniform_q)
+        run_variant(f"k{k} uniform nodom", k, qs=uniform_q,
+                    dominance=False)
 
     print(json.dumps({"metric": "profile_fused_ablate", "n": args.n,
                       "q": args.q, "ms": results}))

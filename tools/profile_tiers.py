@@ -70,7 +70,8 @@ def main():
 
         def go():
             return fused_pipeline_packed(
-                tables, index.codes, index.codes_t, queries, masks_tuple,
+                tables, index.codes, index.codes_t, index.codes_rows,
+                queries, masks_tuple,
                 schedule=schedule, caps=caps, batch_caps=batch_caps,
                 n_tables=cfg.n_tables, knn=k, pool_size=pool_size,
                 approximate=False, use_bitmap=False, s_bits=cfg.s_bits,

@@ -458,12 +458,16 @@ def table_topk_chunkmin_packed(cand_dist: jax.Array, cand_id: jax.Array,
     strip selections were the single largest cost of the 1M k=10 batch
     (17.3 of 55 ms for the 4-table merge — profile_stages2, r4); the
     chunk-min path sorts 44-wide + 250-wide instead of 1100-wide.
-    Falls back to :func:`table_topk_packed` when ``p`` doesn't undercut
-    the chunk count. Requires ``can_pack`` bounds.
+    Falls back to :func:`table_topk_packed` unless the gathered strip is
+    well under the candidate width (``4*p*blk <= C`` — r5 microbench: at
+    [8192, 5800]->100 with blk=25 the chunk-min path measured 50 ms vs
+    the native/ladder 18 ms, while at [8192, 2200]->10 it wins 14.7 ->
+    6.0 ms; the win exists only when ``p*blk`` stays a small fraction of
+    C). Requires ``can_pack`` bounds.
     """
     q, c = cand_dist.shape
     chb = c // blk
-    if (p >= chb // 2 or c % blk or chb > _CHUNKMIN_MAX_CHB
+    if (4 * p * blk > c or c % blk or chb > _CHUNKMIN_MAX_CHB
             or p > _TOPK_WIDE):
         return table_topk_packed(cand_dist, cand_id, p)
     shift = jnp.uint32(PACKED_ID_BITS)
@@ -486,7 +490,8 @@ def table_topk_chunkmin_pos(cand_dist: jax.Array, cand_id: jax.Array,
     """
     q, c = cand_dist.shape
     chb = c // blk
-    if p >= chb // 2 or c % blk or chb > _CHUNKMIN_MAX_CHB or p > _TOPK_WIDE:
+    if (4 * p * blk > c or c % blk or chb > _CHUNKMIN_MAX_CHB
+            or p > _TOPK_WIDE):
         return table_topk_pos(cand_dist, cand_id, p)
     assert c < (1 << PACKED_ID_BITS), f"candidate width {c} >= 2^24"
     pos = jax.lax.broadcasted_iota(jnp.uint32, (1, c), 1)

@@ -315,12 +315,13 @@ def sharded_linear_search(mesh: Mesh, codes_arr, queries, k: int,
     static_argnames=("mesh", "schedule", "caps", "batch_caps", "n_tables",
                      "knn", "pool_size", "approximate", "s_bits", "pbits",
                      "n_rows", "n_total", "retry_caps", "retry_budget",
-                     "scan_budget"))
+                     "scan_budget", "scan_dominance", "overflow_to_scan"))
 def sharded_fused_packed(mesh: Mesh, entry_rows, se, codes_arr, queries,
                          masks_tuple, *, schedule, caps, batch_caps,
                          n_tables, knn, pool_size, approximate, s_bits,
                          pbits, n_rows, n_total, retry_caps=None,
-                         retry_budget=0, scan_budget=0) -> jax.Array:
+                         retry_budget=0, scan_budget=0, scan_dominance=0,
+                         overflow_to_scan=False) -> jax.Array:
     """Multi-chip fused pipeline: schedule + retry + scan stages in ONE
     shard_map dispatch; per-device query compaction; result packed as the
     single int32 array of fused_pipeline_packed. The reference's lockstep
@@ -350,7 +351,8 @@ def sharded_fused_packed(mesh: Mesh, entry_rows, se, codes_arr, queries,
             step_fn, scan_fn, queries, q_subs, state0, schedule=schedule,
             caps=caps, batch_caps=batch_caps, knn=knn, pool_size=pool_size,
             retry_caps=retry_caps, retry_budget=retry_budget,
-            scan_budget=scan_budget)
+            scan_budget=scan_budget, scan_dominance=scan_dominance,
+            overflow_to_scan=overflow_to_scan)
         nq = queries.shape[0]
         cols = jnp.stack([full.done.astype(jnp.int32), full.radius,
                           full.overflow.astype(jnp.int32), full.n_probes,
@@ -406,15 +408,28 @@ def _sharded_fused_search(index: ShardedMIHIndex, queries,
     # "Halve the device-retry caps"): covers the clustered hot range at
     # half the cost; rare double-overflows take the host retry (x4)
     retry_caps = tuple(min(c * 2, max(scfg.candidate_cap, c)) for c in caps)
+    scan_budget = min(nq_loc, max(64, nq_loc // 64))
+    # same exact-mode ladder policy as the single-device driver
+    # (search/single.mih_search_dispatch): overflow rows ride the scan
+    # ladder on small corpora; scan-dominated batches skip stages 2+
+    from verticut_tpu.search.single import (OVERFLOW_SCAN_MAX_N,
+                                            SCAN_DOMINANCE_MIN_NQ)
+    o2s = (scfg.overflow_to_scan and scan_budget > 0
+           and not scfg.approximate and index.n <= OVERFLOW_SCAN_MAX_N)
     packed = sharded_fused_packed(
         mesh, index.entry_rows, index.se, index.codes, queries, masks_tuple,
         schedule=schedule, caps=caps, batch_caps=batch_caps,
         n_tables=cfg.n_tables, knn=scfg.knn, pool_size=pool_size,
         approximate=scfg.approximate, s_bits=cfg.s_bits, pbits=index.pbits,
         n_rows=index.n_rows, n_total=index.n,
-        retry_caps=retry_caps if retry_caps != caps else None,
-        retry_budget=min(nq_loc, max(64, nq_loc // 4)),
-        scan_budget=min(nq_loc, max(64, nq_loc // 64)))
+        retry_caps=(None if o2s
+                    else retry_caps if retry_caps != caps else None),
+        retry_budget=(0 if o2s else min(nq_loc, max(64, nq_loc // 4))),
+        scan_budget=scan_budget,
+        scan_dominance=(nq_loc // 2
+                        if scan_budget and not scfg.approximate
+                        and nq_loc >= SCAN_DOMINANCE_MIN_NQ else 0),
+        overflow_to_scan=o2s)
     host = jax.device_get(packed)
     if (host[:, -1] != 0).any():
         return None
@@ -425,6 +440,8 @@ def sharded_mih_search(index: ShardedMIHIndex, queries,
                        scfg: SearchConfig = SearchConfig(),
                        _cap: Optional[int] = None) -> SearchResult:
     """Distributed batched K-NN. Same contract as search.single.mih_search."""
+    from verticut_tpu.search.single import effective_scfg
+    scfg = effective_scfg(scfg)
     cfg = index.cfg
     mesh = index.mesh
     queries = jnp.asarray(queries, jnp.uint32)

@@ -146,7 +146,14 @@ def build_sharded_compact(codes_arr, cfg: MIHConfig, mesh: Mesh,
     else:
         host = np.zeros((n_tot, cfg.n_words), np.uint32)
         host[:n] = np.asarray(codes_arr)
-        codes_d = jax.device_put(host, csh)
+        if jax.process_count() > 1:
+            # multi-process: device_put cannot target non-addressable
+            # devices; every process materializes only its local shards
+            # from the (replicated) host corpus
+            codes_d = jax.make_array_from_callback(
+                host.shape, csh, lambda idx: host[idx])
+        else:
+            codes_d = jax.device_put(host, csh)
 
     # uniform expectation n_tot/S rows per (table, shard), padded by slack
     cap_rows = int(-(-int(n_tot // n_shards * slack) // ID_ROW_BLOCK)
@@ -155,11 +162,15 @@ def build_sharded_compact(codes_arr, cfg: MIHConfig, mesh: Mesh,
         mesh, codes_d, n=n, n_tot=n_tot, n_words=cfg.n_words,
         n_tables=cfg.n_tables, tl=tl, n_shards=n_shards,
         s_bits=cfg.s_bits, pbits=pbits, cap_rows=cap_rows)
-    kept_h = np.asarray(kept)
-    if (kept_h > cap_rows).any():
+    # kept is (table, shard)-sharded; under multi-process meshes its
+    # shards are not all addressable — reduce to a replicated scalar on
+    # device before pulling to host (multi-host seam, VERDICT r4 #7)
+    kept_max = int(jax.jit(
+        jnp.max, out_shardings=NamedSharding(mesh, P()))(kept))
+    if kept_max > cap_rows:
         raise ValueError(
             f"value-space skew overflowed shard capacity: max kept "
-            f"{int(kept_h.max())} > cap {cap_rows}; rebuild with larger "
+            f"{kept_max} > cap {cap_rows}; rebuild with larger "
             f"slack (exactness contract: rows must never be dropped)")
     return ShardedCompactIndex(cfg=cfg, mesh=mesh, n=n, pbits=pbits,
                                cap_rows=cap_rows, idrows=idrows, se=se,
@@ -314,8 +325,9 @@ def save_sharded_compact(path: str, index: ShardedCompactIndex) -> None:
         "mesh_shard": index.mesh.shape["shard"],
         "arrays": shapes,
     }
-    with open(os.path.join(path, _SHARD_SAVE_META), "w") as f:
-        json.dump(meta, f, indent=1)
+    if jax.process_index() == 0:  # one writer on a shared filesystem
+        with open(os.path.join(path, _SHARD_SAVE_META), "w") as f:
+            json.dump(meta, f, indent=1)
 
 
 def load_sharded_compact(path: str, mesh: Mesh) -> ShardedCompactIndex:
@@ -491,12 +503,14 @@ def _device_radius_step_compact(idrows, se, codes_loc, queries, q_subs,
     jax.jit,
     static_argnames=("mesh", "schedule", "caps", "batch_caps", "n_tables",
                      "knn", "pool_size", "approximate", "s_bits", "pbits",
-                     "n_total", "retry_caps", "retry_budget", "scan_budget"))
+                     "n_total", "retry_caps", "retry_budget", "scan_budget",
+                     "scan_dominance", "overflow_to_scan"))
 def compact_fused_packed(mesh: Mesh, idrows, se, codes_arr, queries,
                          masks_tuple, *, schedule, caps, batch_caps,
                          n_tables, knn, pool_size, approximate, s_bits,
                          pbits, n_total, retry_caps=None, retry_budget=0,
-                         scan_budget=0) -> jax.Array:
+                         scan_budget=0, scan_dominance=0,
+                         overflow_to_scan=False) -> jax.Array:
     """Whole compact schedule (+ retry + scan) in ONE shard_map dispatch,
     packed like fused_pipeline_packed."""
     n_mesh_tables = mesh.shape["table"]
@@ -523,7 +537,8 @@ def compact_fused_packed(mesh: Mesh, idrows, se, codes_arr, queries,
             step_fn, scan_fn, queries, q_subs, state0, schedule=schedule,
             caps=caps, batch_caps=batch_caps, knn=knn, pool_size=pool_size,
             retry_caps=retry_caps, retry_budget=retry_budget,
-            scan_budget=scan_budget)
+            scan_budget=scan_budget, scan_dominance=scan_dominance,
+            overflow_to_scan=overflow_to_scan)
         nq = queries.shape[0]
         cols = jnp.stack([full.done.astype(jnp.int32), full.radius,
                           full.overflow.astype(jnp.int32), full.n_probes,
@@ -546,6 +561,8 @@ def sharded_compact_search(index: ShardedCompactIndex, queries,
                            scfg: SearchConfig = SearchConfig(),
                            _cap: Optional[int] = None) -> SearchResult:
     """Distributed compact K-NN. Same contract as sharded_mih_search."""
+    from verticut_tpu.search.single import effective_scfg
+    scfg = effective_scfg(scfg)
     cfg = index.cfg
     mesh = index.mesh
     queries = jnp.asarray(queries, jnp.uint32)
@@ -574,15 +591,27 @@ def sharded_compact_search(index: ShardedCompactIndex, queries,
                             for _, g in schedule)
         retry_caps = tuple(min(c * 2, max(scfg.candidate_cap, c))
                            for c in caps)
+        scan_budget = min(nq_loc, max(64, nq_loc // 64))
+        # same exact-mode ladder policy as the single-device driver
+        from verticut_tpu.search.single import (OVERFLOW_SCAN_MAX_N,
+                                                SCAN_DOMINANCE_MIN_NQ)
+        o2s = (scfg.overflow_to_scan and scan_budget > 0
+               and not scfg.approximate
+               and index.n <= OVERFLOW_SCAN_MAX_N)
         packed = compact_fused_packed(
             mesh, index.idrows, index.se, index.codes, queries, masks_tuple,
             schedule=schedule, caps=caps, batch_caps=batch_caps,
             n_tables=cfg.n_tables, knn=k, pool_size=pool_size,
             approximate=scfg.approximate, s_bits=cfg.s_bits,
             pbits=index.pbits, n_total=index.n,
-            retry_caps=retry_caps if retry_caps != caps else None,
-            retry_budget=min(nq_loc, max(64, nq_loc // 4)),
-            scan_budget=min(nq_loc, max(64, nq_loc // 64)))
+            retry_caps=(None if o2s
+                        else retry_caps if retry_caps != caps else None),
+            retry_budget=(0 if o2s else min(nq_loc, max(64, nq_loc // 4))),
+            scan_budget=scan_budget,
+            scan_dominance=(nq_loc // 2
+                            if scan_budget and not scfg.approximate
+                            and nq_loc >= SCAN_DOMINANCE_MIN_NQ else 0),
+            overflow_to_scan=o2s)
         host = np.asarray(jax.device_get(packed))
         if (host[:, -1] != 0).any():
             host = None

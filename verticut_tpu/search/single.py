@@ -44,6 +44,20 @@ from verticut_tpu.search import linear as linear_lib
 # ~16 ns/row rate, DESIGN.md §1). 32 upper-bounds both layouts.
 RANGE_BLK = 32
 
+# Largest corpus whose overflow retries ride the scan ladder instead of a
+# separate 2x-cap re-enumeration ladder (run_pipeline overflow_to_scan):
+# a small-tier blockmin scan at <=32M reads <=0.5 GB and lands near the
+# retry's ~10-20 ms; at 100M the scan's 1.6 GB pass dominates.
+OVERFLOW_SCAN_MAX_N = 32_000_000
+
+# Smallest batch that turns on the scan-dominance stage skip: it diverts
+# scan-dominated queries from deep enumeration to the scan stage, which
+# changes the read-amplification STATS (radius/n_probes — results stay
+# exact), and its win is a big-batch throughput effect; small batches keep
+# bit-identical stats parity with the adaptive loop driver
+# (tests/test_fused.py pins that).
+SCAN_DOMINANCE_MIN_NQ = 1024
+
 
 class SearchState(NamedTuple):
     pool_dist: jax.Array   # int32[Q, P]
@@ -332,6 +346,18 @@ def _check_bitmap_engine(index: MIHIndex, scfg: SearchConfig) -> None:
             "the bitmap filter, or drop use_bitmap")
 
 
+def effective_scfg(scfg: SearchConfig) -> SearchConfig:
+    """Approx-mode crossover: above ``approx_exact_crossover`` pool slots
+    the k*factor merges cost more than exact search, so approximate
+    requests run the exact engine (a strictly better answer, never
+    slower — SearchConfig.approx_exact_crossover). Shared by every
+    driver so single-device, sharded, and serving agree."""
+    if scfg.approximate and scfg.pool_size > scfg.approx_exact_crossover:
+        import dataclasses
+        return dataclasses.replace(scfg, approximate=False)
+    return scfg
+
+
 def _check_query_shape(index: MIHIndex, queries) -> None:
     """Queries must be uint32[Q, n_words] for this index's code width —
     a mismatched word count would silently probe garbage substrings
@@ -406,12 +432,14 @@ def _scatter_rows(full: SearchState, orig: jax.Array,
     jax.jit,
     static_argnames=("schedule", "caps", "batch_caps", "n_tables", "knn",
                      "pool_size", "approximate", "use_bitmap", "s_bits",
-                     "retry_caps", "retry_budget", "scan_budget"))
-def fused_pipeline(tables, all_codes, all_codes_t, queries, q_subs,
+                     "retry_caps", "retry_budget", "scan_budget",
+                     "scan_dominance", "overflow_to_scan"))
+def fused_pipeline(tables, all_codes, all_codes_t, all_codes_rows,
+                   queries, q_subs,
                    masks_tuple, state0: SearchState, *, schedule, caps,
                    batch_caps, n_tables, knn, pool_size, approximate,
                    use_bitmap, s_bits, retry_caps=None, retry_budget=0,
-                   scan_budget=0):
+                   scan_budget=0, scan_dominance=0, overflow_to_scan=False):
     """The whole radius schedule as ONE device program.
 
     The loop driver costs one host round-trip per radius (the done-check)
@@ -465,13 +493,16 @@ def fused_pipeline(tables, all_codes, all_codes_t, queries, q_subs,
             # at any corpus size; else the XLA formulation.
             if use_t:
                 return hamming.scan_blockmin_t(sq, all_codes, all_codes_t,
-                                               knn, block=blk)
+                                               knn, block=blk,
+                                               db_rows=all_codes_rows)
             return hamming.scan_blockmin(sq, all_codes, knn, block=blk)
 
     return run_pipeline(step_fn, scan_fn, queries, q_subs, state0,
                         schedule=schedule, caps=caps, batch_caps=batch_caps,
                         knn=knn, pool_size=pool_size, retry_caps=retry_caps,
-                        retry_budget=retry_budget, scan_budget=scan_budget)
+                        retry_budget=retry_budget, scan_budget=scan_budget,
+                        scan_dominance=scan_dominance,
+                        overflow_to_scan=overflow_to_scan)
 
 
 def _stage_shift(knn: int) -> int:
@@ -486,22 +517,40 @@ def _stage_shift(knn: int) -> int:
 
 def run_pipeline(step_fn, scan_fn, queries, q_subs, state0: SearchState, *,
                  schedule, caps, batch_caps, knn, pool_size,
-                 retry_caps=None, retry_budget=0, scan_budget=0):
+                 retry_caps=None, retry_budget=0, scan_budget=0,
+                 scan_dominance=0, overflow_to_scan=False):
     """Generic staged pipeline: schedule stages with device compaction, a
     device-side overflow retry pass, and a device-side brute-force scan
     stage. ``step_fn(i, radius, cap, queries, q_subs, state) -> state`` is
     one radius step (single-device or shard_map-local with collectives);
     ``scan_fn(queries) -> (dists [B, knn], ids [B, knn])`` is the exact
-    scan. Shared by the single-device and sharded fused drivers."""
+    scan. Shared by the single-device and sharded fused drivers.
+
+    ``scan_dominance``: if > 0 (requires a scan stage reaching the full
+    batch), skip every post-first enumeration stage when the active count
+    after the first stage is >= this threshold — a scan-dominated workload
+    (uniform queries against clustered data never satisfy the MIH stop
+    rule at small radii) resolves the whole batch in the scan stage anyway,
+    so deeper enumeration is pure waste (the r4 uniform 1M cell burned the
+    tier ladder before the inevitable full-batch scan — VERDICT r4 #4).
+    ``overflow_to_scan``: route overflowed-but-finished queries to the
+    scan stage instead of a separate enumeration-retry ladder (one ladder,
+    not two — VERDICT r4 #3); exactness is preserved because the scan is
+    exact and supersedes any clipped pool. The caller enables this only
+    where a small-tier scan is cheaper than a capped re-enumeration (small
+    corpora; at 100M a 2x-cap retry beats scanning 1.6 GB).
+    """
     nq = queries.shape[0]
 
-    def staged(queries_b, q_subs_b, state_b, stage_caps, stage_batch_caps):
+    def staged(queries_b, q_subs_b, state_b, stage_caps, stage_batch_caps,
+               dominance=0):
         """Run the schedule with device compaction over one query batch.
         Returns (full-batch state, compaction-budget-overflow flag)."""
         nb0 = queries_b.shape[0]
         full = state_b
         orig = jnp.arange(nb0, dtype=jnp.int32)
         cur_q, cur_qs, cur_state = queries_b, q_subs_b, state_b
+        dom = jnp.zeros((), jnp.bool_)
 
         for i, (r, _group) in enumerate(schedule):
             # runtime stage skip: late radii have huge mask sets but
@@ -519,9 +568,16 @@ def run_pipeline(step_fn, scan_fn, queries, q_subs, state0: SearchState, *,
                 _cq, _cqs, cs, fl, _og = args
                 return cs, fl
 
+            skip = jnp.all(cur_state.done)
+            if i > 0 and dominance:
+                skip = skip | dom
             cur_state, full = jax.lax.cond(
-                jnp.all(cur_state.done), _skip, _run,
+                skip, _skip, _run,
                 (cur_q, cur_qs, cur_state, full, orig))
+            if i == 0 and dominance:
+                # decided once, on the full batch, before any compaction
+                dom = (jnp.sum((~cur_state.done).astype(jnp.int32))
+                       >= dominance)
             if i + 1 < len(schedule):
                 nb = stage_batch_caps[i + 1]
                 if nb < cur_q.shape[0]:
@@ -545,13 +601,14 @@ def run_pipeline(step_fn, scan_fn, queries, q_subs, state0: SearchState, *,
                     orig = orig[sel]
         return full
 
-    full = staged(queries, q_subs, state0, caps, batch_caps)
+    full = staged(queries, q_subs, state0, caps, batch_caps,
+                  dominance=scan_dominance if scan_budget else 0)
     # every budget clip degrades to a slower-but-exact path (scan stage,
     # host retry/scan), so the pipeline itself cannot fail; the flag is
     # kept in the packed result format as a reserved column
     compact_ovf = jnp.zeros((), jnp.bool_)
 
-    if retry_caps:
+    if retry_caps and not overflow_to_scan:
         # Compact the overflowed-but-finished rows (unfinished ones hit the
         # exact linear fallback regardless) and re-run the schedule on them
         # — with its own shrinking stage batches: a handful of retried
@@ -627,9 +684,14 @@ def run_pipeline(step_fn, scan_fn, queries, q_subs, state0: SearchState, *,
         # lax.cond. The always-paid per-tier machinery was ~2.5 ms per
         # k=10 batch across 3 tiers (profile_fused_ablate.py r4).
         flag = ~full.done
+        if overflow_to_scan:
+            # one ladder, not two: overflowed-but-finished rows join the
+            # stragglers; the scan blend marks them done and clears the
+            # overflow flag (the scan result is exact by construction)
+            flag = flag | full.overflow
         n_sc = jnp.sum(flag.astype(jnp.int32))
         idx = jnp.arange(nq, dtype=jnp.int32)
-        _, perm = jax.lax.sort((full.done.astype(jnp.int32), idx),
+        _, perm = jax.lax.sort(((~flag).astype(jnp.int32), idx),
                                num_keys=2)
         budgets = [min(scan_budget, nq)]
         while budgets[-1] < nq:
@@ -677,9 +739,10 @@ def _result_id_bits(tables, bits: int) -> int:
     jax.jit,
     static_argnames=("schedule", "caps", "batch_caps", "n_tables", "knn",
                      "pool_size", "approximate", "use_bitmap", "s_bits",
-                     "retry_caps", "retry_budget", "scan_budget"))
-def fused_pipeline_packed(tables, all_codes, all_codes_t, queries,
-                          masks_tuple, *, n_tables, pool_size,
+                     "retry_caps", "retry_budget", "scan_budget",
+                     "scan_dominance", "overflow_to_scan"))
+def fused_pipeline_packed(tables, all_codes, all_codes_t, all_codes_rows,
+                          queries, masks_tuple, *, n_tables, pool_size,
                           **kw) -> jax.Array:
     """fused_pipeline as ONE dispatch end-to-end, result flattened into ONE
     array: uint32 ``[Q, P + 7]`` = [(dist << id_bits | id) pool | done
@@ -697,7 +760,8 @@ def fused_pipeline_packed(tables, all_codes, all_codes_t, queries,
     """
     q_subs = codes_lib.all_substrings(queries, n_tables)
     state0 = init_state(queries.shape[0], pool_size)
-    full, covf = fused_pipeline(tables, all_codes, all_codes_t, queries,
+    full, covf = fused_pipeline(tables, all_codes, all_codes_t,
+                                all_codes_rows, queries,
                                 q_subs, masks_tuple, state0,
                                 n_tables=n_tables,
                                 pool_size=pool_size, **kw)
@@ -797,6 +861,7 @@ def mih_search_dispatch(index: MIHIndex, queries,
     """
     if not scfg.fused:
         return None
+    scfg = effective_scfg(scfg)
     _check_bitmap_engine(index, scfg)
     cfg = index.cfg
     queries = jnp.asarray(queries, jnp.uint32)
@@ -830,16 +895,31 @@ def mih_search_dispatch(index: MIHIndex, queries,
     # x2, not x4: covers the typical clustered hot range at half the cost;
     # the rare double-overflow falls to the host retry (which quadruples)
     retry_caps = tuple(min(c * 2, max(scfg.candidate_cap, c)) for c in caps)
+    # Optional merged ladder (SearchConfig.overflow_to_scan — measured
+    # slower than the two-ladder default at 1M, kept as a knob). EXACT
+    # mode only (like the dominance gate below): the scan returns exact
+    # results, which preserves exact-mode semantics trivially but would
+    # silently upgrade approx-mode answers away from the reference's
+    # k*20-pool spec (tests/test_approx_prod.py pins that spec).
+    overflow_to_scan = (scfg.overflow_to_scan and scan_budget > 0
+                        and not scfg.approximate
+                        and index.n <= OVERFLOW_SCAN_MAX_N)
     from verticut_tpu.utils.retry import with_compile_retry
     packed = with_compile_retry(lambda: fused_pipeline_packed(
-        tables, index.codes, index.codes_t, queries, masks_tuple,
+        tables, index.codes, index.codes_t, index.codes_rows,
+        queries, masks_tuple,
         schedule=schedule, caps=caps, batch_caps=batch_caps,
         n_tables=cfg.n_tables, knn=k, pool_size=pool_size,
         approximate=scfg.approximate, use_bitmap=scfg.use_bitmap,
         s_bits=cfg.s_bits,
-        retry_caps=retry_caps if retry_caps != caps else None,
-        retry_budget=min(nq, max(64, nq // 4)),
-        scan_budget=scan_budget))
+        retry_caps=(None if overflow_to_scan
+                    else retry_caps if retry_caps != caps else None),
+        retry_budget=0 if overflow_to_scan else min(nq, max(64, nq // 4)),
+        scan_budget=scan_budget,
+        scan_dominance=(nq // 2
+                        if scan_budget and not scfg.approximate
+                        and nq >= SCAN_DOMINANCE_MIN_NQ else 0),
+        overflow_to_scan=overflow_to_scan))
     # Start the device->host copy of the result the moment the program
     # finishes: finalize()'s device_get then finds the bytes already on
     # the host. Without this the transfer serializes behind the NEXT
@@ -940,7 +1020,8 @@ def _apply_fallbacks(index, queries, scfg, _cap, k, dists, ids, radius,
             queries0 = np.asarray(queries)
         idxs = np.nonzero(not_done)[0]
         ld, li = linear_lib.linear_search(queries0[idxs], index.codes, k,
-                                          db_t=index.codes_t)
+                                          db_t=index.codes_t,
+                                          db_rows=index.codes_rows)
         dists[idxs] = np.asarray(ld)
         ids[idxs] = np.asarray(li)
 
@@ -963,6 +1044,7 @@ def mih_search(index: MIHIndex, queries, scfg: SearchConfig = SearchConfig(),
     see ops/enumeration.enumeration_cost).
     """
     cfg = index.cfg
+    scfg = effective_scfg(scfg)
     _check_bitmap_engine(index, scfg)
     queries = jnp.asarray(queries, jnp.uint32)
     _check_query_shape(index, queries)
