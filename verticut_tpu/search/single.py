@@ -745,18 +745,23 @@ def fused_pipeline_packed(tables, all_codes, all_codes_t, all_codes_rows,
                           queries, masks_tuple, *, n_tables, pool_size,
                           **kw) -> jax.Array:
     """fused_pipeline as ONE dispatch end-to-end, result flattened into ONE
-    array: uint32 ``[Q, P + 7]`` = [(dist << id_bits | id) pool | done
-    radius overflow n_probes n_nonempty n_cands covf] when ids fit under
-    the distance field (all-ones word = empty slot), else int32
-    ``[Q, 2P + 7]`` = [pool_dist | pool_id | cols].
+    array: uint32 ``[Q, k + 3]`` = [(dist << id_bits | id) top-k |
+    flags_word | n_nonempty | n_cands] when ids fit under the distance
+    field (all-ones word = empty slot), else int32 ``[Q, 2k + 3]`` =
+    [top-k dists | top-k ids | the same 3 stat words].
+
+    flags_word = done(bit0) | overflow(bit1) | covf(bit2) | radius(bits
+    3..9) | saturating-16-bit n_probes (bits 16..31). Only the first k of
+    the P pool slots ship: the finalize path and every fallback consume
+    ``pd[:, :k]`` alone, so the approx-mode k*20 pool never crosses the
+    relay (the k=100 result row shrank 107 -> 13 words at k=10).
 
     Substring extraction and state init happen inside the jit, and the
     result is a single array: through a remote-device relay every eager op
     dispatch, array creation, and device_get leaf costs a host round trip
-    (~10-30 ms each — CLAUDE.md), which at 8+ leaves dwarfs the ~70 ms of
-    actual search. The word-packed layout exists for the same reason: the
-    relay moves device->host at ~50 MB/s, so the [8192, 207] int32 result
-    at k=100 costs ~130 ms of pure transfer — halved by packing.
+    (~10-30 ms each — CLAUDE.md), and the result transfer contends with
+    the next batch's dispatch on the same relay link, so result bytes are
+    wall-clock even at pipeline depth 4 (PROFILE_OVERLAP_r04).
     """
     q_subs = codes_lib.all_substrings(queries, n_tables)
     state0 = init_state(queries.shape[0], pool_size)
@@ -766,19 +771,22 @@ def fused_pipeline_packed(tables, all_codes, all_codes_t, all_codes_rows,
                                 n_tables=n_tables,
                                 pool_size=pool_size, **kw)
     nq = queries.shape[0]
-    cols = jnp.stack([full.done.astype(jnp.int32), full.radius,
-                      full.overflow.astype(jnp.int32), full.n_probes,
-                      full.n_nonempty, full.n_cands,
-                      jnp.broadcast_to(covf.astype(jnp.int32), (nq,))],
-                     axis=1)
+    k = kw["knn"]
+    flags = (full.done.astype(jnp.uint32)
+             | (full.overflow.astype(jnp.uint32) << 1)
+             | (jnp.broadcast_to(covf.astype(jnp.uint32), (nq,)) << 2)
+             | (jnp.minimum(full.radius, 127).astype(jnp.uint32) << 3)
+             | (jnp.minimum(full.n_probes, 0xFFFF).astype(jnp.uint32) << 16))
+    cols = jnp.stack([flags, full.n_nonempty.astype(jnp.uint32),
+                      full.n_cands.astype(jnp.uint32)], axis=1)
+    pd_k, pi_k = full.pool_dist[:, :k], full.pool_id[:, :k]
     id_bits = _result_id_bits(tables, queries.shape[-1] * 32)
     if id_bits:
         pool_u = jnp.where(
-            full.pool_id < 0, jnp.uint32(0xFFFFFFFF),
-            (full.pool_dist.astype(jnp.uint32) << id_bits)
-            | full.pool_id.astype(jnp.uint32))
-        return jnp.concatenate([pool_u, cols.astype(jnp.uint32)], axis=1)
-    return jnp.concatenate([full.pool_dist, full.pool_id, cols], axis=1)
+            pi_k < 0, jnp.uint32(0xFFFFFFFF),
+            (pd_k.astype(jnp.uint32) << id_bits) | pi_k.astype(jnp.uint32))
+        return jnp.concatenate([pool_u, cols], axis=1)
+    return jnp.concatenate([pd_k, pi_k, cols.astype(jnp.int32)], axis=1)
 
 
 _MASK_CACHE = {}
@@ -936,28 +944,31 @@ def mih_search_finalize(h: FusedHandle) -> Optional[SearchResult]:
 
     Returns None if a fused stage budget overflowed (caller must re-run
     via the adaptive loop — ``mih_search`` does this automatically)."""
-    scfg, k, pool_size = h.scfg, h.scfg.knn, h.scfg.pool_size
+    scfg, k = h.scfg, h.scfg.knn
     host = jax.device_get(h.packed)  # the single sync, one transfer
-    if (host[:, -1] != 0).any():  # covf (per query-shard under shard_map)
-        return None
-    if host.shape[1] == pool_size + 7:  # word-packed (dist, id) layout
-        id_bits = _result_id_bits(tuple(h.index.tables),
-                                  h.index.cfg.bits)
-        pool = host[:, :pool_size]
+    id_bits = _result_id_bits(tuple(h.index.tables), h.index.cfg.bits)
+    if id_bits:  # word-packed (dist, id) layout: [Q, k + 3] uint32
+        pool = host[:, :k]
         empty = pool == np.uint32(0xFFFFFFFF)
         pd = np.where(empty, topk.INF_DIST,
                       pool >> id_bits).astype(np.int32)
         pi = np.where(empty, topk.INVALID_ID,
                       pool & ((1 << id_bits) - 1)).astype(np.int32)
-        cols = host[:, pool_size:].astype(np.int32)
-    else:
-        pd, pi = host[:, :pool_size], host[:, pool_size:2 * pool_size]
-        cols = host[:, 2 * pool_size:]
-    done, radius, overflow = cols[:, 0] != 0, cols[:, 1], cols[:, 2] != 0
-    n_probes, n_nonempty, n_cands = cols[:, 3], cols[:, 4], cols[:, 5]
-    dists = pd[:, :k].copy()
-    ids = pi[:, :k].copy()
-    radius = radius.copy()
+        stats = host[:, k:]
+    else:  # [Q, 2k + 3] int32
+        pd = host[:, :k].astype(np.int32)
+        pi = host[:, k:2 * k].astype(np.int32)
+        stats = host[:, 2 * k:]
+    flags = stats[:, 0].astype(np.uint32)
+    if ((flags >> 2) & 1).any():  # covf (per query-shard under shard_map)
+        return None
+    done, overflow = (flags & 1) != 0, ((flags >> 1) & 1) != 0
+    radius = ((flags >> 3) & 0x7F).astype(np.int32)
+    n_probes = (flags >> 16).astype(np.int32)
+    n_nonempty = stats[:, 1].astype(np.int32)
+    n_cands = stats[:, 2].astype(np.int32)
+    dists = pd.copy()
+    ids = pi.copy()
     not_done = ~done
     return _apply_fallbacks(h.index, h.queries, scfg, h.cap, k, dists, ids,
                             radius, overflow, not_done, n_probes,
