@@ -359,3 +359,24 @@ def test_service_leader_error_unblocks_waiters():
         assert results and all(r == "err" for r in results)
     finally:
         srv.stop()
+
+
+def test_server_prewarm_compiles_buckets():
+    # prewarm must run every power-of-two bucket through the worker path
+    # and leave the server serving correctly (the cold-bucket stall fix:
+    # a bucket first seen under load blocks the single worker for a full
+    # remote compile with all queued requests behind it)
+    from verticut_tpu.service import ImageSearchClient, ImageSearchServer
+    rng = np.random.default_rng(11)
+    raw = rng.integers(0, 256, size=(400, 16), dtype=np.uint8)
+    packed = codes.pack_bytes(raw)
+    idx = build_index(packed, MIHConfig())
+    srv = ImageSearchServer(idx, port=0).start()
+    try:
+        srv.prewarm(max_rows=32)
+        assert srv.n_batches >= 3  # buckets 8, 16, 32
+        cli = ImageSearchClient(port=srv.port, pool=2)
+        res = cli.search_image_by_id(9, 3)
+        assert res[0][0] == 9 and res[0][1] == 0
+    finally:
+        srv.stop()

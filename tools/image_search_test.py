@@ -99,6 +99,12 @@ def main():
         jax.block_until_ready(index.tables[-1].entry_ids)
         server = ImageSearchServer(index, port=0,
                                    default_knn=args.knn).start()
+        print("selfbuild: prewarming shape buckets", file=sys.stderr,
+              flush=True)
+        # compile the batch buckets this load can reach (≤ 2x peak
+        # concurrency) before taking any: a cold bucket mid-run stalls
+        # the worker for a full remote compile (measured ~80 s p90)
+        server.prewarm(max_rows=128)
         args.port = server.port
 
     from verticut_tpu.service import ImageSearchClient

@@ -311,6 +311,31 @@ class ImageSearchServer:
             evt.set()
             lo += sz
 
+    def prewarm(self, knn: Optional[int] = None, approx: bool = False,
+                max_rows: Optional[int] = None):
+        """Compile every power-of-two batch-shape bucket up to ``max_rows``.
+
+        The worker pads each device batch to a power of two
+        (``_pad_batch``) so repeat sizes hit the compile cache — but a
+        bucket first seen under load stalls the single worker for a full
+        remote compile with every queued request behind it (measured:
+        one cold 64-row bucket at 64 concurrent clients turned p90 into
+        ~80 s). A production server compiles its shape buckets before
+        accepting load; with the persistent compile cache this is
+        seconds on any later start.
+        """
+        knn = self.default_knn if knn is None else knn
+        max_rows = self.max_batch_rows if max_rows is None else max_rows
+        codes_arr = self.index.codes
+        if codes_arr is None:
+            raise ValueError("index holds no code array")
+        row = np.asarray(codes_arr[:1])
+        b = 8
+        while b <= max_rows:
+            self._search(np.repeat(row, b, axis=0), knn, approx)
+            log.info("prewarm: bucket %d compiled", b)
+            b *= 2
+
     # -- lifecycle -----------------------------------------------------------
 
     def start(self):
