@@ -100,7 +100,7 @@ def main():
                                      _index_fetch_blk(index))
                      for _, g in schedule)
         batch_caps = tuple(
-            nq if i == 0 else max(64, nq >> (_stage_shift(k) + 2 * (i - 1)))
+            nq if i == 0 else max(64, nq >> (_stage_shift(k, args.n) + 2 * (i - 1)))
             for i in range(len(schedule)))
         masks_tuple = tuple(_device_masks(mask_bits, g)
                             for _, g in schedule)

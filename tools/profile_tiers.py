@@ -61,7 +61,7 @@ def main():
         caps = tuple(_cap_for_radius(scfg, cfg, n, g, pool_size, mask_bits,
                                      True, blk) for _, g in schedule)
         batch_caps = tuple(
-            q if i == 0 else max(64, q >> (_stage_shift(k) + 2 * (i - 1)))
+            q if i == 0 else max(64, q >> (_stage_shift(k, n) + 2 * (i - 1)))
             for i in range(len(schedule)))
         masks_tuple = tuple(_device_masks(mask_bits, g) for _, g in schedule)
         retry_caps = tuple(min(c * 2, max(scfg.candidate_cap, c))

@@ -585,7 +585,8 @@ def sharded_compact_search(index: ShardedCompactIndex, queries,
                      for _, g in schedule)
         nq_loc = nq // mesh.shape["query"]
         batch_caps = tuple(
-            nq_loc if i == 0 else max(64, nq_loc >> (_stage_shift(scfg.knn) + 2 * (i - 1)))
+            nq_loc if i == 0 else max(64, nq_loc >> (_stage_shift(scfg.knn, index.n)
+                                                     + 2 * (i - 1)))
             for i in range(len(schedule)))
         masks_tuple = tuple(_device_masks(index.pbits, g)
                             for _, g in schedule)

@@ -505,14 +505,26 @@ def fused_pipeline(tables, all_codes, all_codes_t, all_codes_rows,
                         overflow_to_scan=overflow_to_scan)
 
 
-def _stage_shift(knn: int) -> int:
+def _stage_shift(knn: int, n: int = 0) -> int:
     """First-stage batch-budget shift: deep-stage budgets are ``nq >> (shift
     + 2*(stage-1))``. The straggler fraction grows with k — at k=100 on
     clustered 1M data ~22% of queries need radius 2 (vs ~3% at k=10), so
     wide-k searches get a gentler shrink; actives beyond a stage budget
     are exact but resolve via the scan tiers, and overflowing the small
-    tiers costs a full-batch scan (~1 s at k=100, q=8192 — BENCH r3)."""
-    return 2 if knn > 32 else 3
+    tiers costs a full-batch scan (~1 s at k=100, q=8192 — BENCH r3).
+
+    Stage-2 cost scales with the budget (probe gathers, candidate fetch,
+    selection widths are all [budget, ...]): shrinking k=10's budget
+    1024 -> 512 was measured at 30.7 -> 25.7 ms/batch pipelined at 1M
+    (identical results), and -> 256 at 24.1 ms. The 256 budget spills the
+    last few actives (~280 at 8192-query clustered batches) to the scan
+    tier, which is cheap only where a tier-sized scan is (small corpora)
+    — at 100M a spilled row drags a 1.6 GB scan into the batch — so the
+    aggressive shift is gated on ``n``; callers that cannot know the
+    corpus size get the spill-free budget."""
+    if knn > 32:
+        return 2
+    return 5 if 0 < n <= 4_000_000 else 4
 
 
 def run_pipeline(step_fn, scan_fn, queries, q_subs, state0: SearchState, *,
@@ -895,7 +907,8 @@ def mih_search_dispatch(index: MIHIndex, queries,
                                          _index_fetch_blk(index))
                  for _, g in schedule)
     batch_caps = tuple(
-        nq if i == 0 else max(64, nq >> (_stage_shift(k) + 2 * (i - 1)))
+        nq if i == 0 else max(64, nq >> (_stage_shift(k, index.n)
+                                         + 2 * (i - 1)))
         for i in range(len(schedule)))
     masks_tuple = tuple(_device_masks(mask_bits, group)
                         for _, group in schedule)
