@@ -521,7 +521,13 @@ def _stage_shift(knn: int, n: int = 0) -> int:
     tier, which is cheap only where a tier-sized scan is (small corpora)
     — at 100M a spilled row drags a 1.6 GB scan into the batch — so the
     aggressive shift is gated on ``n``; callers that cannot know the
-    corpus size get the spill-free budget."""
+    corpus size get the spill-free budget.
+
+    k=100 measured the other way (1M clustered, pipelined): shift 2
+    127 ms/batch, shift 3 140 ms, shift 4 241 ms — ~22% of queries are
+    active at radius 2, so any budget below nq>>2 spills hundreds of
+    rows into the scan tiers and loses; wide k keeps the gentle shrink
+    at every corpus size."""
     if knn > 32:
         return 2
     return 5 if 0 < n <= 4_000_000 else 4
